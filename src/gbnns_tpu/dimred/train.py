@@ -1,0 +1,174 @@
+"""Triplet-loss trainer for the learned projection.
+
+Capability parity: the reference's offline PyTorch training script
+(SURVEY.md §4.2): sample (anchor, positive = true near neighbor,
+negative), hinge triplet loss ``max(0, m + d(f(a),f(p)) − d(f(a),f(n)))``,
+SGD/Adam, projection written to disk (BASELINE.json:5 "triplet/contrastive
+loss over sampled anchors"). TPU-first re-architecture:
+
+  * the whole epoch loop is one jit'd ``lax.scan`` over steps — sampling
+    (jax.random inside the graph), projection, loss, and the optax update
+    all fuse; no host↔device traffic during training;
+  * positives are drawn from the precomputed kNN graph / ground-truth rows
+    (the graph artifact doubles as the supervision set, exactly the
+    reference's data flow);
+  * negatives: uniform corpus samples plus in-batch hard negatives
+    (the hardest violating example inside the projected batch — free on
+    TPU since the batch distance matrix is one MXU matmul).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gbnns_tpu.dimred.models import apply_model, init_model, make_model
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    d_out: int
+    model: str = "linear"          # "linear" | "mlp"
+    hidden: int = 512              # mlp only
+    metric: str = "l2"             # "l2" | "ip" | "angular"
+    margin: float = 1.0
+    lr: float = 1e-3
+    batch_size: int = 1024
+    steps: int = 2000
+    k_pos: int = 10                # positives drawn from top-k_pos true NNs
+    hard_negatives: bool = True
+    seed: int = 0
+
+    @property
+    def normalize(self) -> bool:
+        return self.metric == "angular"
+
+
+def _sq_dist(a, b):
+    diff = a - b
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def _pair_dist(a, b, metric):
+    if metric in ("ip", "angular"):
+        return -jnp.sum(a * b, axis=-1)
+    return _sq_dist(a, b)
+
+
+def train_projection(base, neighbors, cfg: TrainConfig,
+                     *, log_every: int = 0) -> dict[str, Any]:
+    """Train f: R^d → R^{d_out} so neighbor ordering survives projection.
+
+    ``base``: (n, d) corpus; ``neighbors``: (n, >=k_pos) int32 rows of each
+    node's true near neighbors (kNN-graph artifact or exact GT).
+    Returns {"params", "model", "cfg", "losses"}.
+    """
+    base = jnp.asarray(np.asarray(base, dtype=np.float32))
+    neighbors = jnp.asarray(np.asarray(neighbors[:, :cfg.k_pos], dtype=np.int32))
+    n, d = base.shape
+    model = make_model(cfg.model, cfg.d_out, hidden=cfg.hidden,
+                       normalize=cfg.normalize)
+    params = init_model(model, d, seed=cfg.seed)
+    tx = optax.adam(cfg.lr)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, key):
+        ka, kp, kn = jax.random.split(key, 3)
+        a_idx = jax.random.randint(ka, (cfg.batch_size,), 0, n)
+        p_col = jax.random.randint(kp, (cfg.batch_size,), 0, cfg.k_pos)
+        p_idx = neighbors[a_idx, p_col]
+        n_idx = jax.random.randint(kn, (cfg.batch_size,), 0, n)
+
+        fa = apply_model(model, params, base[a_idx])
+        fp = apply_model(model, params, base[p_idx])
+        fn_ = apply_model(model, params, base[n_idx])
+
+        d_ap = _pair_dist(fa, fp, cfg.metric)
+        d_an = _pair_dist(fa, fn_, cfg.metric)
+        loss = jnp.maximum(0.0, cfg.margin + d_ap - d_an)
+
+        if cfg.hard_negatives:
+            # In-batch hard negatives: for each anchor, the most-violating
+            # other-anchor projection. One (B, B) MXU matmul.
+            if cfg.metric in ("ip", "angular"):
+                dmat = -(fa @ fn_.T)
+            else:
+                dmat = (jnp.sum(fa * fa, -1)[:, None]
+                        - 2.0 * (fa @ fn_.T) + jnp.sum(fn_ * fn_, -1)[None, :])
+            # Exclude coincidental positives: same id as anchor or its pos.
+            same = (n_idx[None, :] == a_idx[:, None]) | (n_idx[None, :] == p_idx[:, None])
+            dmat = jnp.where(same, jnp.inf, dmat)
+            d_hard = jnp.min(dmat, axis=1)
+            loss = loss + jnp.maximum(0.0, cfg.margin + d_ap - d_hard)
+        return jnp.mean(loss)
+
+    @jax.jit
+    def run(params, opt_state, key):
+        def step(carry, key):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, key)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        keys = jax.random.split(key, cfg.steps)
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
+        return params, opt_state, losses
+
+    params, opt_state, losses = run(params, opt_state,
+                                    jax.random.PRNGKey(cfg.seed + 1))
+    losses = np.asarray(losses)
+    if log_every:
+        for i in range(0, cfg.steps, log_every):
+            print(f"  step {i}: loss {losses[i]:.4f}", flush=True)
+    return {"params": params, "model": model, "cfg": cfg, "losses": losses}
+
+
+def project(trained: dict[str, Any], x, *, chunk: int = 262144) -> np.ndarray:
+    """Apply the trained projection to (m, d), streamed in chunks."""
+    x = np.asarray(x)
+    model, params = trained["model"], trained["params"]
+    apply_jit = jax.jit(lambda xc: apply_model(model, params, xc))
+    outs = [np.asarray(apply_jit(jnp.asarray(x[off:off + chunk])))
+            for off in range(0, len(x), chunk)]
+    return np.concatenate(outs, axis=0)
+
+
+def save_projection(path: str, trained: dict[str, Any]) -> None:
+    """Checkpoint the projection (stage boundary, SURVEY §5.4): flat npz of
+    parameter leaves + config; loadable without unpickling arbitrary code."""
+    cfg = trained["cfg"]
+    flat = jax.tree_util.tree_flatten_with_path(trained["params"])[0]
+    arrays = {_path_str(path_): np.asarray(v) for path_, v in flat}
+    np.savez(path, __cfg__=np.array([repr(dataclasses.asdict(cfg))]), **arrays)
+
+
+def _path_str(path) -> str:
+    """'params/proj/kernel'-style key from a tree_flatten_with_path path."""
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def load_projection(path: str) -> dict[str, Any]:
+    import ast
+
+    data = np.load(path, allow_pickle=False)
+    cfg = TrainConfig(**ast.literal_eval(str(data["__cfg__"][0])))
+    model = make_model(cfg.model, cfg.d_out, hidden=cfg.hidden,
+                       normalize=cfg.normalize)
+    # Rebuild the pytree by initializing a skeleton and filling leaves.
+    first_layer = "hidden" if cfg.model == "mlp" else "proj"
+    d_in = next(data[k].shape[0] for k in data.files
+                if first_layer in k and k.endswith("kernel"))
+    params = init_model(model, d_in, seed=cfg.seed)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    rebuilt = []
+    for path_, v in flat:
+        rebuilt.append(jnp.asarray(data[_path_str(path_)]))
+    params = jax.tree_util.tree_unflatten(treedef, rebuilt)
+    return {"params": params, "model": model, "cfg": cfg, "losses": None}

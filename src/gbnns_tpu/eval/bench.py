@@ -1,0 +1,89 @@
+"""QPS benchmarking and recall-vs-QPS sweeps.
+
+Capability parity: the reference's timing loop + ef sweep producing the
+recall-vs-QPS curve (SURVEY.md §4.3, BASELINE.json:2 — the primary metric).
+TPU-specific methodology (SURVEY §7.3 "QPS methodology"): the whole query
+batch is resident on device, timed end-to-end around ``block_until_ready``
+after warmup (first call compiles; compile time excluded), so QPS reflects
+steady-state device throughput exactly as the reference's OpenMP wall-clock
+over the query set does. Distance-computation counters come from the walker
+itself for apples-to-apples work accounting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class BenchResult:
+    label: str
+    ef: int
+    qps: float
+    latency_ms: float          # per-batch wall time
+    recall_at_1: float
+    recall_at_10: float
+    n_queries: int
+    dist_comps_per_query: float
+    hops: int
+    extra: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def to_json(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def time_fn(fn: Callable[[], Any], *, warmup: int = 2, iters: int = 5) -> tuple[float, Any]:
+    """Median wall-clock seconds of ``fn`` (which must return jax arrays or
+    pytrees thereof; ``block_until_ready`` is applied to the result)."""
+    out = None
+    for _ in range(warmup):
+        out = jax.block_until_ready(fn())
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn())
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), out
+
+
+def time_search(search_fn: Callable[[], Any], n_queries: int, *,
+                warmup: int = 2, iters: int = 5) -> tuple[float, float, Any]:
+    """Returns (qps, seconds_per_batch, last_result)."""
+    sec, out = time_fn(search_fn, warmup=warmup, iters=iters)
+    return n_queries / sec, sec, out
+
+
+def sweep(run_one: Callable[[int], BenchResult], efs: list[int],
+          *, out_path: str | None = None, verbose: bool = True) -> list[BenchResult]:
+    """Run ``run_one(ef)`` for each ef; collect the recall-vs-QPS curve and
+    optionally persist structured JSON results (SURVEY §5.5)."""
+    results = []
+    for ef in efs:
+        r = run_one(ef)
+        results.append(r)
+        if verbose:
+            print(f"  ef={ef:4d}  R@1={r.recall_at_1:.4f}  R@10={r.recall_at_10:.4f}  "
+                  f"QPS={r.qps:,.0f}  dist/q={r.dist_comps_per_query:,.0f}  hops={r.hops}",
+                  flush=True)
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump([r.to_json() for r in results], f, indent=2)
+    return results
+
+
+def pareto(results: list[BenchResult], recall_attr: str = "recall_at_10") -> list[BenchResult]:
+    """Points on the recall-vs-QPS Pareto frontier (higher is better on both)."""
+    pts = sorted(results, key=lambda r: -r.qps)
+    frontier, best_recall = [], -1.0
+    for r in pts:
+        rec = getattr(r, recall_attr)
+        if rec > best_recall:
+            frontier.append(r)
+            best_recall = rec
+    return frontier

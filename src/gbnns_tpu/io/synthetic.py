@@ -1,0 +1,86 @@
+"""Synthetic ANN datasets with exact ground truth.
+
+The environment is fully offline (SURVEY.md §0), so the standard corpora
+(SIFT1M, GIST1M, GloVe-1.2M, DEEP10M — BASELINE.json:7-11) cannot be
+downloaded. This module generates statistically similar stand-ins:
+clustered-Gaussian point clouds whose dimension/metric/scale mirror each
+corpus, so every pipeline stage (graph build, projection training, search,
+eval) exercises the same shapes and dtypes it would on the real data. If the
+driver later mounts real corpora, ``io.datasets`` prefers them automatically.
+
+Clustered (rather than i.i.d.) data matters: graph-based search quality
+depends on local neighborhood structure, and a mixture of anisotropic
+Gaussians with a planted low-dimensional signal subspace gives the learned
+d→d' projection something real to learn (matching the reference's premise
+that neighborhoods are approximately preserved under a linear map).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SyntheticSpec:
+    """Recipe for a synthetic corpus.
+
+    ``signal_dim``: dimensionality of the subspace where cluster structure
+    lives; remaining dims are lower-variance noise. This plants a recoverable
+    structure for dimensionality reduction (PCA and the triplet net should
+    both find it, the triplet net better).
+    """
+
+    n_base: int
+    n_query: int
+    dim: int
+    metric: str = "l2"          # "l2" | "ip" | "angular"
+    n_clusters: int = 64
+    signal_dim: int | None = None
+    noise_scale: float = 0.35
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.metric not in ("l2", "ip", "angular"):
+            raise ValueError(f"unknown metric {self.metric!r}")
+
+
+def make_synthetic(spec: SyntheticSpec) -> dict[str, np.ndarray]:
+    """Generate ``{"base", "query", "gt", "gt_dist"}`` for ``spec``.
+
+    Queries are perturbed copies of base-distribution samples so that each
+    query has meaningful near neighbors. Ground truth here is *not* computed
+    (exact GT is the job of the brute-force kernel — ``build.knn_graph``);
+    this function only returns the raw point sets. Use
+    ``gbnns_tpu.eval.recall.exact_ground_truth`` for GT.
+    """
+    rng = np.random.default_rng(spec.seed)
+    d = spec.dim
+    sd = spec.signal_dim or max(4, d // 8)
+    sd = min(sd, d)
+
+    # Cluster centers live in a random sd-dim subspace, embedded in d dims.
+    basis = rng.standard_normal((sd, d)).astype(np.float32)
+    basis /= np.linalg.norm(basis, axis=1, keepdims=True)
+    centers_lo = rng.standard_normal((spec.n_clusters, sd)).astype(np.float32) * 4.0
+    centers = centers_lo @ basis
+
+    def sample(n: int, seed_offset: int) -> np.ndarray:
+        r = np.random.default_rng(spec.seed + seed_offset)
+        assign = r.integers(0, spec.n_clusters, size=n)
+        # In-subspace anisotropic spread + isotropic ambient noise.
+        spread_lo = r.standard_normal((n, sd)).astype(np.float32)
+        scales = (0.5 + r.random((spec.n_clusters, sd)).astype(np.float32))
+        pts = centers[assign] + (spread_lo * scales[assign]) @ basis
+        pts += spec.noise_scale * r.standard_normal((n, d)).astype(np.float32)
+        return pts.astype(np.float32)
+
+    base = sample(spec.n_base, 1)
+    query = sample(spec.n_query, 2)
+
+    if spec.metric == "angular":
+        base /= np.maximum(np.linalg.norm(base, axis=1, keepdims=True), 1e-12)
+        query /= np.maximum(np.linalg.norm(query, axis=1, keepdims=True), 1e-12)
+
+    return {"base": base, "query": query}

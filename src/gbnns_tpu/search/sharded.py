@@ -1,0 +1,145 @@
+"""Multi-chip sharded search over an ICI device mesh.
+
+Capability: BASELINE.json:11 — "DEEP10M sharded over v4-8: per-chip
+subgraphs + ICI all-gather candidate merge". The reference has no
+distributed runtime at all (single node, OpenMP — SURVEY.md §5.8); this
+module is the TPU-native scale-out the rebuild adds:
+
+  * the base set (both search-space and full-dim vectors) and its kNN graph
+    are partitioned into P contiguous shards, one per device; each shard's
+    graph is *local* (subgraph over the shard's own vectors with local ids)
+    so graph construction is embarrassingly parallel and no chip ever holds
+    the full index — index size scales with the mesh;
+  * queries are replicated; each chip walks its own subgraph (the same
+    lockstep walker as single-chip) and re-ranks its own candidates at full
+    dimension locally — so the only inter-chip traffic is one
+    ``all_gather`` of (B, k) id/distance pairs over ICI, followed by a
+    replicated P*k → k top-k merge (the sharded analog of the
+    per-shard-partial-top-k-then-merge pattern, SURVEY §5.7);
+  * everything runs inside one ``shard_map`` over a 1-D mesh axis, so XLA
+    schedules the collective on ICI links (scaling-book recipe: mesh +
+    shardings, collectives inserted at the annotated boundary).
+
+Tested on a forced-8-device CPU mesh (SURVEY §7.4); the same code runs
+unchanged on a real v4-8/v5e slice.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gbnns_tpu.build.knn_graph import build_knn_graph
+from gbnns_tpu.search.rerank import rerank
+from gbnns_tpu.search.walker_jax import beam_search, default_entry_ids
+
+
+@dataclasses.dataclass
+class ShardedIndex:
+    """Device-sharded index: leading axis = shard (device)."""
+
+    base_lo: jax.Array     # (Pn, n_shard, d_lo) search-space vectors
+    base_full: jax.Array   # (Pn, n_shard, d) full-dim vectors for re-rank
+    graph: jax.Array       # (Pn, n_shard, K) local-id subgraph adjacency
+    n: int                 # total corpus size (before padding)
+    n_shard: int
+    mesh: Mesh
+    axis: str = "shards"
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shards") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def build_sharded_index(base_full, K: int, mesh: Mesh, *,
+                        base_lo=None, metric: str = "l2",
+                        axis: str = "shards",
+                        build_kwargs: dict[str, Any] | None = None) -> ShardedIndex:
+    """Partition the corpus into contiguous per-device shards and build an
+    independent kNN subgraph per shard (local ids). Shard p owns global ids
+    [p*n_shard, (p+1)*n_shard); the tail shard is padded with +inf-distance
+    sentinel rows (id slots -1 in the graph are never produced here since
+    padding rows only ever neighbor each other)."""
+    base_full = np.asarray(base_full, dtype=np.float32)
+    base_lo = base_full if base_lo is None else np.asarray(base_lo, np.float32)
+    n, d = base_full.shape
+    Pn = mesh.devices.size
+    n_shard = -(-n // Pn)
+    pad = Pn * n_shard - n
+    if pad:
+        # Sentinel rows placed far away: 1e6 * (max extent) offset keeps them
+        # out of every true neighbor list while keeping distances finite.
+        far = np.abs(base_full).max() * 1e3 + 1e3
+        base_full = np.concatenate(
+            [base_full, np.full((pad, d), far, np.float32)], axis=0)
+        base_lo = np.concatenate(
+            [base_lo, np.full((pad, base_lo.shape[1]), far, np.float32)], axis=0)
+
+    kw = dict(build_kwargs or {})
+    graphs = []
+    for p in range(Pn):
+        shard = base_lo[p * n_shard:(p + 1) * n_shard]
+        graphs.append(build_knn_graph(shard, K, metric=metric, **kw))
+    graph = np.stack(graphs)  # (Pn, n_shard, K) local ids
+
+    shard_spec = NamedSharding(mesh, P(axis))
+    return ShardedIndex(
+        base_lo=jax.device_put(base_lo.reshape(Pn, n_shard, -1), shard_spec),
+        base_full=jax.device_put(base_full.reshape(Pn, n_shard, -1), shard_spec),
+        graph=jax.device_put(graph, shard_spec),
+        n=n, n_shard=n_shard, mesh=mesh, axis=axis,
+    )
+
+
+def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
+                   num_entries: int = 32, max_hops: int = 256,
+                   metric: str = "l2",
+                   rerank_metric: str | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Search all shards in parallel and merge: returns (ids, dists) with
+    *global* ids, (B, k) each. One jit'd shard_map program: per-shard walk →
+    per-shard full-dim re-rank → all_gather(B*k scalars) over ICI →
+    replicated merge."""
+    axis = index.axis
+    entry = default_entry_ids(index.n_shard, min(num_entries, ef))
+    rr_metric = rerank_metric or metric
+
+    def per_shard(q, base_lo, base_full, graph):
+        base_lo, base_full, graph = base_lo[0], base_full[0], graph[0]
+        res = beam_search(q, base_lo, graph, entry, ef=ef, metric=metric,
+                          max_hops=max_hops)
+        ids, dists = rerank(q, base_full, res.ids, k, metric=rr_metric)
+        shard_id = jax.lax.axis_index(axis)
+        gids = jnp.where(ids >= 0, ids + shard_id * index.n_shard, -1)
+        dists = jnp.where(ids >= 0, dists, jnp.inf)
+        all_ids = jax.lax.all_gather(gids, axis)      # (Pn, B, k)
+        all_d = jax.lax.all_gather(dists, axis)
+        Pn = all_ids.shape[0]
+        B = q.shape[0]
+        flat_ids = jnp.transpose(all_ids, (1, 0, 2)).reshape(B, Pn * k)
+        flat_d = jnp.transpose(all_d, (1, 0, 2)).reshape(B, Pn * k)
+        neg, sel = jax.lax.top_k(-flat_d, k)
+        out_ids = jnp.take_along_axis(flat_ids, sel, axis=1)
+        return out_ids, -neg
+
+    # check_vma=False: the walker's while_loop carries fresh constants
+    # (counters, flags) that start axis-unvarying and become varying after a
+    # body step, which the VMA type-checker rejects even though the program
+    # is correct; disabling the static check keeps the collective lowering.
+    fn = jax.jit(jax.shard_map(
+        per_shard, mesh=index.mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    qj = jnp.asarray(np.asarray(queries, dtype=np.float32))
+    ids, dists = fn(qj, index.base_lo, index.base_full, index.graph)
+    return ids, dists

@@ -1,0 +1,192 @@
+"""Batched lockstep greedy/beam graph search — pure-JAX reference walker.
+
+Capability parity: the reference's C++ beam searcher (SURVEY.md §4.3): entry
+point → iterative best-first walk over the kNN graph, bounded candidate pool
+of size ``ef``, visited handling, termination when the best unexpanded
+candidate is worse than the worst pooled one; distances evaluated in the
+(possibly reduced) search space. The reference parallelizes with one OpenMP
+thread per query; here **all B queries advance in lockstep** as one batched
+XLA program — every hop is a handful of large fused ops (gather, batched
+dot, compare, top-k), which is the TPU-native shape of query parallelism
+(BASELINE.json:5 "hundreds of walks advance in lockstep").
+
+Design choices vs. the scalar reference:
+  * Termination: per-query ``active`` flags inside a single
+    ``lax.while_loop`` whose trip count is data-dependent but bounded by
+    ``max_hops`` — finished walks become no-ops (SURVEY §7.3 "lockstep
+    divergence").
+  * Visited set: two modes (SURVEY §7.3 "visited set on TPU").
+    ``"beam"`` (default, CAGRA-style): membership in the candidate pool is
+    the visited filter; a node evicted from the pool may be re-evaluated
+    (extra distance computations, never wrong results).
+    ``"exact"``: a (B, n) byte table in HBM exactly reproduces the
+    reference's per-query visited semantics — used for oracle parity tests
+    and small corpora.
+  * Distance-computation counters are carried in-graph (the reference's
+    comparison metric, SURVEY §5.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gbnns_tpu.kernels.distance import METRICS, squared_norms
+
+_INF = float("inf")  # python float: device-array constants in jit are pathological on axon
+
+
+def default_entry_ids(n: int, num_entries: int = 32) -> jnp.ndarray:
+    """Strided sample of entry points. An exact kNN graph is directed and can
+    be disconnected (one component per cluster), so a single entry point caps
+    reachable recall; seeding the pool with spread-out entries restores
+    reachability and costs nothing extra in the lockstep walker (they are
+    just initial pool entries). Deterministic for reproducibility."""
+    num_entries = min(num_entries, n)
+    return (jnp.arange(num_entries, dtype=jnp.int32) * (n // num_entries)
+            + (n // (2 * num_entries)))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SearchResult:
+    """Final candidate pool per query, sorted ascending by search-space
+    distance, plus work counters."""
+
+    ids: jax.Array       # (B, ef) int32; -1 marks an unfilled slot
+    dists: jax.Array     # (B, ef) float32 in the search (low-d) space
+    n_dist: jax.Array    # (B,) int32 — distance computations performed
+    hops: jax.Array      # () int32 — lockstep hops executed
+
+
+def _batched_dists(q, vecs, vec_sqnorms, q_sqnorms, metric, precision=None):
+    """Distances from q (B,d) to vecs (B,K,d): one batched MXU contraction."""
+    dots = jnp.einsum("bd,bkd->bk", q, vecs,
+                      preferred_element_type=jnp.float32, precision=precision)
+    if metric in ("ip", "angular"):
+        return -dots
+    return jnp.maximum(q_sqnorms[:, None] - 2.0 * dots + vec_sqnorms, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef", "max_hops", "metric", "visited_mode", "precision"),
+)
+def beam_search(queries, base, graph, entry_ids, *, ef: int,
+                max_hops: int = 256, metric: str = "l2",
+                visited_mode: str = "beam",
+                base_sqnorms: jax.Array | None = None,
+                precision: str = "highest") -> SearchResult:
+    """Lockstep beam search of ``queries (B,d)`` over ``graph (n,K)`` with
+    vectors ``base (n,d)`` (search space — typically the reduced-dim
+    projection). ``entry_ids (E,)`` are shared entry points (E <= ef).
+
+    Greedy search is the ``ef=1``-pool limit; the reference's recall knob is
+    this same ``ef`` (SURVEY §4.3 "ef sweep").
+
+    ``precision`` defaults to "highest": per-hop distance matvecs are tiny
+    (B x K x d), so full-f32 MXU passes cost nothing measurable, while the
+    TPU default (bf16 lowering) was measured to corrupt beam ordering enough
+    to cap R@1 at ~0.84 on data whose true neighbor gaps are below bf16
+    resolution of the ||q||^2-2qx+||x||^2 expansion.
+    """
+    if metric not in METRICS:
+        raise ValueError(f"unknown metric {metric!r}")
+    if visited_mode not in ("beam", "exact"):
+        raise ValueError(f"unknown visited_mode {visited_mode!r}")
+    B, d = queries.shape
+    n, K = graph.shape
+    E = entry_ids.shape[0]
+    if E > ef:
+        raise ValueError(f"entry count {E} > ef {ef}")
+
+    qf = queries.astype(jnp.float32)
+    q_sq = squared_norms(qf)
+    x_sq = squared_norms(base) if base_sqnorms is None else base_sqnorms
+    graph = graph.astype(jnp.int32)
+
+    # ---- init: evaluate entry points, seed the pool -------------------
+    entry_vecs = jnp.broadcast_to(base[entry_ids], (B, E, d))
+    entry_sq = jnp.broadcast_to(x_sq[entry_ids][None, :], (B, E))
+    e_dists = _batched_dists(qf, entry_vecs, entry_sq, q_sq, metric,
+                             precision=precision)  # (B,E)
+    pad = ef - E
+    beam_ids = jnp.pad(jnp.broadcast_to(entry_ids[None, :].astype(jnp.int32), (B, E)),
+                       ((0, 0), (0, pad)), constant_values=-1)
+    beam_d = jnp.pad(e_dists, ((0, 0), (0, pad)), constant_values=jnp.inf)
+    order = jnp.argsort(beam_d, axis=1)
+    beam_ids = jnp.take_along_axis(beam_ids, order, axis=1)
+    beam_d = jnp.take_along_axis(beam_d, order, axis=1)
+    expanded = beam_ids < 0  # padding slots can never become the frontier
+
+    if visited_mode == "exact":
+        visited = jnp.zeros((B, n), dtype=jnp.bool_)
+        rows = jnp.arange(B, dtype=jnp.int32)
+        visited = visited.at[rows[:, None], jnp.maximum(beam_ids, 0)].set(True)
+    else:
+        visited = jnp.zeros((B, 1), dtype=jnp.bool_)  # unused placeholder
+
+    n_dist = jnp.full((B,), E, dtype=jnp.int32)
+    state = (beam_ids, beam_d, expanded, visited, n_dist,
+             jnp.int32(0), jnp.bool_(True))
+
+    def cond(state):
+        *_, hop, any_active = state
+        return (hop < max_hops) & any_active
+
+    def body(state):
+        beam_ids, beam_d, expanded, visited, n_dist, hop, _ = state
+
+        # -- frontier: best unexpanded pool entry per query -------------
+        unexp_d = jnp.where(expanded, _INF, beam_d)
+        f_pos = jnp.argmin(unexp_d, axis=1)                         # (B,)
+        best_unexp = jnp.take_along_axis(unexp_d, f_pos[:, None], 1)[:, 0]
+        worst = beam_d[:, -1]                                       # pool sorted
+        active = (best_unexp < _INF) & (best_unexp <= worst)
+        f_id = jnp.take_along_axis(beam_ids, f_pos[:, None], 1)[:, 0]
+        f_id = jnp.where(active, f_id, 0)
+
+        slot = jax.nn.one_hot(f_pos, ef, dtype=jnp.bool_)
+        expanded = expanded | (slot & active[:, None])
+
+        # -- evaluate the frontier's adjacency row ----------------------
+        nbrs = jnp.take(graph, f_id, axis=0)                        # (B,K)
+        nbrs_safe = jnp.maximum(nbrs, 0)
+        nv = jnp.take(base, nbrs_safe, axis=0)                      # (B,K,d)
+        nsq = jnp.take(x_sq, nbrs_safe, axis=0)
+        dist = _batched_dists(qf, nv, nsq, q_sq, metric,
+                              precision=precision)            # (B,K)
+
+        dup = jnp.any(nbrs[:, :, None] == beam_ids[:, None, :], axis=-1)
+        if visited_mode == "exact":
+            rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+            dup = dup | visited[rows, nbrs_safe]
+            mark = active[:, None] & (nbrs >= 0)
+            visited = visited.at[rows, nbrs_safe].max(mark)
+
+        invalid = (nbrs < 0) | dup | ~active[:, None]
+        cand_d = jnp.where(invalid, _INF, dist)
+        n_dist = n_dist + jnp.sum(~invalid, axis=1).astype(jnp.int32)
+
+        # -- merge pool ∪ candidates, keep best ef ----------------------
+        all_ids = jnp.concatenate([beam_ids, nbrs], axis=1)
+        all_d = jnp.concatenate([beam_d, cand_d], axis=1)
+        all_exp = jnp.concatenate([expanded, invalid], axis=1)
+        _, sel = jax.lax.top_k(-all_d, ef)
+        beam_ids = jnp.take_along_axis(all_ids, sel, axis=1)
+        beam_d = jnp.take_along_axis(all_d, sel, axis=1)
+        expanded = jnp.take_along_axis(all_exp, sel, axis=1)
+
+        # -- continue? --------------------------------------------------
+        unexp_next = jnp.where(expanded, _INF, beam_d)
+        nxt_best = jnp.min(unexp_next, axis=1)
+        any_active = jnp.any((nxt_best < _INF) & (nxt_best <= beam_d[:, -1]))
+        return (beam_ids, beam_d, expanded, visited, n_dist,
+                hop + 1, any_active)
+
+    beam_ids, beam_d, expanded, visited, n_dist, hops, _ = \
+        jax.lax.while_loop(cond, body, state)
+    return SearchResult(ids=beam_ids, dists=beam_d, n_dist=n_dist, hops=hops)

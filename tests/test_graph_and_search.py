@@ -1,0 +1,119 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gbnns_tpu.build.knn_graph import build_knn_graph, load_graph, save_graph
+from gbnns_tpu.eval.recall import exact_ground_truth, recall_at_k
+from gbnns_tpu.search.rerank import rerank
+from gbnns_tpu.search.walker_jax import beam_search, default_entry_ids
+
+
+@pytest.fixture(scope="module")
+def graph16(fixture_data):
+    base, _ = fixture_data
+    return build_knn_graph(base, 16, chunk=1024, node_chunk=1024)
+
+
+def test_graph_shape_no_self(fixture_data, graph16):
+    base, _ = fixture_data
+    n = base.shape[0]
+    assert graph16.shape == (n, 16)
+    assert graph16.dtype == np.int32
+    self_ids = np.arange(n)[:, None]
+    assert not (graph16 == self_ids).any()
+    assert (graph16 >= 0).all() and (graph16 < n).all()
+
+
+def test_graph_matches_numpy_oracle(fixture_data):
+    base, _ = fixture_data
+    # connect=False: bridge edges intentionally deviate from true kNN
+    graph16 = build_knn_graph(base, 16, chunk=1024, node_chunk=1024,
+                              connect=False)
+    d2 = ((base[:50, None, :] - base[None, :, :]) ** 2).sum(-1)
+    ref = np.argsort(d2, axis=1, kind="stable")[:, 1:17]
+    # The MXU kernel uses the ‖x‖²−2x·y+‖y‖² expansion in f32, so near-ties
+    # may resolve differently than the numpy oracle; require the chosen
+    # neighbors to be no worse than the true kNN within fp tolerance and the
+    # neighbor sets to agree almost everywhere.
+    got_d = np.sort(np.take_along_axis(d2, graph16[:50], axis=1), axis=1)
+    ref_d = np.sort(np.take_along_axis(d2, ref, axis=1), axis=1)
+    assert (got_d <= ref_d * 1.01 + 1e-3).all()
+    overlap = np.mean([len(np.intersect1d(a, b)) for a, b in zip(graph16[:50], ref)])
+    assert overlap >= 15.5, overlap
+
+
+def test_graph_roundtrip(tmp_path, graph16):
+    p = str(tmp_path / "g.npy")
+    save_graph(p, graph16)
+    np.testing.assert_array_equal(load_graph(p), graph16)
+
+
+def test_ground_truth_matches_oracle(fixture_data, fixture_gt):
+    base, query = fixture_data
+    gt = exact_ground_truth(query, base, k=10, chunk=512)
+    d2 = ((query[:, None, :] - base[None, :, :]) ** 2).sum(-1)
+    got_d = np.take_along_axis(d2, gt, axis=1)
+    ref_d = np.take_along_axis(d2, fixture_gt[:, :10], axis=1)
+    np.testing.assert_allclose(got_d, ref_d, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("visited_mode", ["beam", "exact"])
+def test_beam_search_high_recall(fixture_data, fixture_gt, graph16, visited_mode):
+    base, query = fixture_data
+    res = beam_search(jnp.asarray(query), jnp.asarray(base), jnp.asarray(graph16),
+                      default_entry_ids(base.shape[0], 16), ef=64,
+                      visited_mode=visited_mode)
+    ids, dists = rerank(jnp.asarray(query), jnp.asarray(base), res.ids, 10)
+    r1 = recall_at_k(np.asarray(ids), fixture_gt, 1)
+    r10 = recall_at_k(np.asarray(ids), fixture_gt, 10)
+    assert r1 >= 0.95, r1
+    assert r10 >= 0.9, r10
+    assert int(res.hops) > 1
+    assert (np.asarray(res.n_dist) > 0).all()
+
+
+def test_beam_search_ef_monotone_recall(fixture_data, fixture_gt, graph16):
+    base, query = fixture_data
+    recalls = []
+    for ef in (4, 16, 64):
+        res = beam_search(jnp.asarray(query), jnp.asarray(base),
+                          jnp.asarray(graph16),
+                          default_entry_ids(base.shape[0], min(ef, 16)), ef=ef)
+        ids, _ = rerank(jnp.asarray(query), jnp.asarray(base), res.ids, 1)
+        recalls.append(recall_at_k(np.asarray(ids), fixture_gt, 1))
+    assert recalls[0] <= recalls[1] + 0.05
+    assert recalls[1] <= recalls[2] + 0.05
+    assert recalls[-1] >= 0.9
+
+
+def test_beam_search_deterministic(fixture_data, graph16):
+    base, query = fixture_data
+    args = (jnp.asarray(query), jnp.asarray(base), jnp.asarray(graph16),
+            default_entry_ids(base.shape[0], 16))
+    a = beam_search(*args, ef=32)
+    b = beam_search(*args, ef=32)
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_array_equal(np.asarray(a.n_dist), np.asarray(b.n_dist))
+
+
+def test_beam_search_results_sorted(fixture_data, graph16):
+    base, query = fixture_data
+    res = beam_search(jnp.asarray(query[:16]), jnp.asarray(base),
+                      jnp.asarray(graph16), default_entry_ids(base.shape[0], 16),
+                      ef=32)
+    d = np.asarray(res.dists)
+    assert (np.diff(d, axis=1) >= -1e-6).all()
+    ids = np.asarray(res.ids)
+    # no duplicate ids within a row (excluding -1 padding)
+    for row in ids:
+        row = row[row >= 0]
+        assert len(row) == len(np.unique(row))
+
+
+def test_rerank_excludes_invalid_and_dups():
+    base = np.array([[0.0], [1.0], [2.0], [3.0]], dtype=np.float32)
+    q = np.array([[0.9]], dtype=np.float32)
+    cand = np.array([[1, 1, -1, 3]], dtype=np.int32)
+    ids, dists = rerank(jnp.asarray(q), jnp.asarray(base), jnp.asarray(cand), 2)
+    assert np.asarray(ids)[0, 0] == 1
+    assert np.asarray(ids)[0, 1] == 3  # duplicate of 1 must not fill slot 2
