@@ -1,0 +1,326 @@
+"""``gbnns`` command line — build / train / search / eval / pipeline.
+
+Capability parity: the reference's experiment drivers (SURVEY.md §4.4
+``run_<dataset>.sh``: download → ground truth → graph → train projection →
+search+eval sweep), re-shaped as subcommands over the same file-staged
+artifacts (every stage reads its predecessors' outputs, so any stage is
+resumable — SURVEY §5.3/5.4):
+
+  synth     materialize a (synthetic) dataset as fvecs files
+  gt        exact ground truth (queries x base) → ivecs
+  build     kNN graph → graph.npy
+  train     projection (pca/linear/mlp) → proj artifacts + projected fvecs
+  search    one search run (given ef) → ids/metrics
+  sweep     recall-vs-QPS curve over the ef sweep → results JSON
+  pipeline  all of the above from one config JSON
+
+The first device→host transfer on the axon TPU relay stalls O(minutes);
+every entry point fires a background warmup transfer immediately.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import threading
+import time
+
+import numpy as np
+
+
+def _warmup_transfer():
+    """Absorb the axon relay's first-transfer stall concurrently with
+    compilation and data loading (see .claude/skills/verify/SKILL.md)."""
+    def _w():
+        try:
+            import jax.numpy as jnp
+            np.asarray(jnp.zeros((1,), jnp.float32))
+        except Exception:
+            pass
+    threading.Thread(target=_w, daemon=True).start()
+
+
+def _load_base_query(args):
+    from gbnns_tpu.io.datasets import load_dataset
+    from gbnns_tpu.io.vecs import read_fvecs
+
+    if getattr(args, "base", None):
+        base = np.ascontiguousarray(read_fvecs(args.base), dtype=np.float32)
+        query = (np.ascontiguousarray(read_fvecs(args.query), dtype=np.float32)
+                 if getattr(args, "query", None) else None)
+        return base, query
+    ds = load_dataset(args.dataset, scale=args.scale, max_base=args.max_base)
+    print(f"dataset {ds.info.name} [{ds.source}]: base {ds.base.shape}, "
+          f"query {ds.query.shape}", flush=True)
+    return ds.base, ds.query
+
+
+def cmd_synth(args):
+    from gbnns_tpu.io.datasets import load_dataset
+    from gbnns_tpu.io.vecs import write_fvecs
+
+    ds = load_dataset(args.dataset, scale=args.scale, max_base=args.max_base)
+    os.makedirs(args.out, exist_ok=True)
+    write_fvecs(os.path.join(args.out, "base.fvecs"), ds.base)
+    write_fvecs(os.path.join(args.out, "query.fvecs"), ds.query)
+    print(f"wrote {args.out}/base.fvecs {ds.base.shape} and query.fvecs {ds.query.shape}")
+
+
+def cmd_gt(args):
+    from gbnns_tpu.eval.recall import exact_ground_truth
+    from gbnns_tpu.io.vecs import write_ivecs
+
+    base, query = _load_base_query(args)
+    t0 = time.perf_counter()
+    gt = exact_ground_truth(query, base, k=args.k, metric=args.metric)
+    print(f"ground truth {gt.shape} in {time.perf_counter()-t0:.1f}s")
+    write_ivecs(args.out, gt)
+    print(f"wrote {args.out}")
+
+
+def cmd_build(args):
+    from gbnns_tpu.build.knn_graph import build_knn_graph, save_graph
+
+    base, _ = _load_base_query(args)
+    t0 = time.perf_counter()
+    graph = build_knn_graph(base, args.k, metric=args.metric,
+                            chunk=args.chunk, node_chunk=args.node_chunk,
+                            exact=not args.approx, connect=not args.no_connect,
+                            verbose=args.verbose)
+    dt = time.perf_counter() - t0
+    save_graph(args.out, graph)
+    print(f"built kNN graph {graph.shape} in {dt:.1f}s → {args.out}")
+
+
+def cmd_train(args):
+    from gbnns_tpu.dimred.pca import pca_fit, pca_transform
+    from gbnns_tpu.dimred.train import (TrainConfig, project,
+                                        save_projection, train_projection)
+    from gbnns_tpu.eval.recall import exact_ground_truth
+    from gbnns_tpu.io.vecs import read_ivecs, write_fvecs
+
+    base, query = _load_base_query(args)
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.perf_counter()
+    if args.method == "pca":
+        model = pca_fit(base, args.d_out)
+        base_lo = pca_transform(model, base, normalize=args.metric == "angular")
+        q_lo = (pca_transform(model, query, normalize=args.metric == "angular")
+                if query is not None else None)
+        np.savez(os.path.join(args.out, "pca.npz"), mean=model.mean,
+                 components=model.components)
+    else:
+        if args.neighbors:
+            nbrs = np.asarray(read_ivecs(args.neighbors))
+        else:
+            print("computing training neighbors (exact GT of base vs base)...",
+                  flush=True)
+            nbrs = exact_ground_truth(base, base, k=args.k_pos + 1)[:, 1:]
+        cfg = TrainConfig(d_out=args.d_out, model=args.method,
+                          metric=args.metric, steps=args.steps,
+                          batch_size=args.batch_size, lr=args.lr,
+                          k_pos=args.k_pos, seed=args.seed)
+        trained = train_projection(base, nbrs, cfg, log_every=args.steps // 10 or 1)
+        save_projection(os.path.join(args.out, "proj.npz"), trained)
+        base_lo = project(trained, base)
+        q_lo = project(trained, query) if query is not None else None
+    print(f"trained {args.method} projection d→{args.d_out} in "
+          f"{time.perf_counter()-t0:.1f}s")
+    write_fvecs(os.path.join(args.out, "base_lo.fvecs"), base_lo)
+    if q_lo is not None:
+        write_fvecs(os.path.join(args.out, "query_lo.fvecs"), q_lo)
+    print(f"wrote projected vectors to {args.out}/")
+
+
+def _run_search(base_full, base_lo, query_full, query_lo, graph, gt, ef, k,
+                metric, num_entries, max_hops, visited_mode, iters=3):
+    import jax
+    import jax.numpy as jnp
+
+    from gbnns_tpu.eval.bench import BenchResult, time_search
+    from gbnns_tpu.eval.recall import recall_at_k
+    from gbnns_tpu.search.rerank import rerank
+    from gbnns_tpu.search.walker_jax import beam_search, default_entry_ids
+
+    qlo = jnp.asarray(query_lo)
+    qfull = jnp.asarray(query_full)
+    blo = jnp.asarray(base_lo)
+    bfull = jnp.asarray(base_full)
+    gj = jnp.asarray(graph)
+    entries = default_entry_ids(base_lo.shape[0], min(num_entries, ef))
+
+    def run():
+        res = beam_search(qlo, blo, gj, entries, ef=ef, metric=metric,
+                          max_hops=max_hops, visited_mode=visited_mode)
+        ids, dists = rerank(qfull, bfull, res.ids, k, metric=metric)
+        return ids, dists, res.n_dist, res.hops
+
+    qps, sec, (ids, dists, n_dist, hops) = time_search(run, query_lo.shape[0],
+                                                       warmup=1, iters=iters)
+    ids = np.asarray(ids)
+    r1 = recall_at_k(ids, gt, 1) if gt is not None else float("nan")
+    r10 = (recall_at_k(ids, gt, min(10, k)) if gt is not None else float("nan"))
+    return BenchResult(
+        label=f"ef{ef}", ef=ef, qps=qps, latency_ms=sec * 1e3,
+        recall_at_1=r1, recall_at_10=r10, n_queries=query_lo.shape[0],
+        dist_comps_per_query=float(np.asarray(n_dist).mean()),
+        hops=int(hops)), ids
+
+
+def cmd_search(args):
+    from gbnns_tpu.build.knn_graph import load_graph
+    from gbnns_tpu.io.vecs import read_fvecs, read_ivecs, write_ivecs
+
+    base, query = _load_base_query(args)
+    graph = np.asarray(load_graph(args.graph))
+    base_lo = (np.ascontiguousarray(read_fvecs(args.base_lo), dtype=np.float32)
+               if args.base_lo else base)
+    q_lo = (np.ascontiguousarray(read_fvecs(args.query_lo), dtype=np.float32)
+            if args.query_lo else query)
+    gt = np.asarray(read_ivecs(args.gt)) if args.gt else None
+    r, ids = _run_search(base, base_lo, query, q_lo, graph, gt, args.ef,
+                         args.k, args.metric, args.num_entries, args.max_hops,
+                         args.visited_mode)
+    print(json.dumps(r.to_json(), indent=2))
+    if args.out:
+        write_ivecs(args.out, ids)
+        print(f"wrote {args.out}")
+
+
+def cmd_sweep(args):
+    from gbnns_tpu.build.knn_graph import load_graph
+    from gbnns_tpu.eval.bench import sweep
+    from gbnns_tpu.io.vecs import read_fvecs, read_ivecs
+
+    base, query = _load_base_query(args)
+    graph = np.asarray(load_graph(args.graph))
+    base_lo = (np.ascontiguousarray(read_fvecs(args.base_lo), dtype=np.float32)
+               if args.base_lo else base)
+    q_lo = (np.ascontiguousarray(read_fvecs(args.query_lo), dtype=np.float32)
+            if args.query_lo else query)
+    gt = np.asarray(read_ivecs(args.gt)) if args.gt else None
+    efs = [int(e) for e in args.efs.split(",")]
+
+    def run_one(ef):
+        r, _ = _run_search(base, base_lo, query, q_lo, graph, gt, ef, args.k,
+                           args.metric, args.num_entries, args.max_hops,
+                           args.visited_mode)
+        return r
+
+    sweep(run_one, efs, out_path=args.out)
+    if args.out:
+        print(f"wrote {args.out}")
+
+
+def cmd_pipeline(args):
+    from gbnns_tpu.config import ExperimentConfig
+    from gbnns_tpu.pipeline import run_pipeline
+
+    if args.config:
+        cfg = ExperimentConfig.load(args.config)
+    else:
+        cfg = ExperimentConfig(dataset=args.dataset, scale=args.scale,
+                               max_base=args.max_base)
+        if args.d_out:
+            cfg.dimred.method = args.method or "linear"
+            cfg.dimred.d_out = args.d_out
+    results = run_pipeline(cfg)
+    print(json.dumps(results["summary"], indent=2))
+
+
+def main(argv=None):
+    _warmup_transfer()
+    p = argparse.ArgumentParser(prog="gbnns",
+                                description="TPU-native graph-based NNS with "
+                                            "learned dimensionality reduction")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_data_args(sp, query=True):
+        sp.add_argument("--dataset", default="sift1m")
+        sp.add_argument("--scale", type=float, default=1.0)
+        sp.add_argument("--max-base", type=int, default=None, dest="max_base")
+        sp.add_argument("--base", help="base.fvecs path (overrides --dataset)")
+        if query:
+            sp.add_argument("--query", help="query.fvecs path")
+        sp.add_argument("--metric", default="l2",
+                        choices=["l2", "ip", "angular"])
+
+    sp = sub.add_parser("synth", help="materialize dataset as fvecs")
+    sp.add_argument("--dataset", default="sift1m")
+    sp.add_argument("--scale", type=float, default=1.0)
+    sp.add_argument("--max-base", type=int, default=None, dest="max_base")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_synth)
+
+    sp = sub.add_parser("gt", help="exact ground truth → ivecs")
+    add_data_args(sp)
+    sp.add_argument("--k", type=int, default=100)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_gt)
+
+    sp = sub.add_parser("build", help="kNN graph → npy")
+    add_data_args(sp, query=False)
+    sp.add_argument("--k", type=int, default=32)
+    sp.add_argument("--chunk", type=int, default=65536)
+    sp.add_argument("--node-chunk", type=int, default=8192, dest="node_chunk")
+    sp.add_argument("--approx", action="store_true")
+    sp.add_argument("--no-connect", action="store_true", dest="no_connect")
+    sp.add_argument("--verbose", action="store_true")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_build)
+
+    sp = sub.add_parser("train", help="dimensionality-reduction projection")
+    add_data_args(sp)
+    sp.add_argument("--method", default="linear",
+                    choices=["pca", "linear", "mlp"])
+    sp.add_argument("--d-out", type=int, required=True, dest="d_out")
+    sp.add_argument("--neighbors", help="ivecs of true-NN rows for sampling")
+    sp.add_argument("--steps", type=int, default=2000)
+    sp.add_argument("--batch-size", type=int, default=1024, dest="batch_size")
+    sp.add_argument("--lr", type=float, default=1e-3)
+    sp.add_argument("--k-pos", type=int, default=10, dest="k_pos")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--out", required=True, help="output directory")
+    sp.set_defaults(fn=cmd_train)
+
+    def add_search_args(sp):
+        add_data_args(sp)
+        sp.add_argument("--graph", required=True)
+        sp.add_argument("--base-lo", dest="base_lo")
+        sp.add_argument("--query-lo", dest="query_lo")
+        sp.add_argument("--gt")
+        sp.add_argument("--k", type=int, default=10)
+        sp.add_argument("--num-entries", type=int, default=32,
+                        dest="num_entries")
+        sp.add_argument("--max-hops", type=int, default=256, dest="max_hops")
+        sp.add_argument("--visited-mode", default="beam",
+                        choices=["beam", "exact"], dest="visited_mode")
+
+    sp = sub.add_parser("search", help="single beam-search run")
+    add_search_args(sp)
+    sp.add_argument("--ef", type=int, default=64)
+    sp.add_argument("--out", help="write result ids as ivecs")
+    sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser("sweep", help="recall-vs-QPS over ef sweep")
+    add_search_args(sp)
+    sp.add_argument("--efs", default="16,32,64,128,256")
+    sp.add_argument("--out", help="results JSON path")
+    sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser("pipeline", help="full experiment from config")
+    sp.add_argument("--config", help="config JSON (configs/*.json)")
+    sp.add_argument("--dataset", default="sift1m")
+    sp.add_argument("--scale", type=float, default=1.0)
+    sp.add_argument("--max-base", type=int, default=None, dest="max_base")
+    sp.add_argument("--method", choices=["pca", "linear", "mlp"])
+    sp.add_argument("--d-out", type=int, default=0, dest="d_out")
+    sp.set_defaults(fn=cmd_pipeline)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

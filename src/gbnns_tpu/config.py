@@ -1,0 +1,88 @@
+"""Typed experiment configuration with JSON overrides.
+
+Capability parity: the reference drives experiments with argv positional
+args and constants edited in shell scripts (SURVEY.md §5.6); the rebuild
+uses dataclass configs — one checked-in JSON per BASELINE config
+(BASELINE.json:7-11) lives in ``configs/``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass
+class GraphConfig:
+    k: int = 32                    # graph degree K
+    chunk: int = 65536             # base-sweep tile (columns of the distance matmul)
+    node_chunk: int = 8192         # node tile (rows)
+    exact: bool = True
+    recall_target: float = 0.99    # for exact=False (approx_max_k)
+    connect: bool = True           # directed-reachability repair
+    precision: str | None = None   # None => "highest" when exact
+
+
+@dataclasses.dataclass
+class DimRedConfig:
+    method: str = "none"           # "none" | "pca" | "linear" | "mlp"
+    d_out: int = 32
+    hidden: int = 512              # mlp only
+    margin: float = 1.0
+    lr: float = 1e-3
+    batch_size: int = 1024
+    steps: int = 2000
+    k_pos: int = 10
+    hard_negatives: bool = True
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class SearchConfig:
+    k: int = 10                    # final top-k
+    efs: tuple[int, ...] = (16, 32, 64, 128, 256)
+    num_entries: int = 32
+    max_hops: int = 256
+    visited_mode: str = "beam"
+    batch_size: int = 0            # 0 = whole query set in one device batch
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    name: str = "experiment"
+    dataset: str = "sift1m"
+    scale: float = 1.0             # synthetic-fallback size multiplier
+    max_base: int | None = None
+    metric: str = "l2"
+    seed: int = 0
+    n_devices: int | None = None   # None = single chip; >1 = sharded mesh
+    graph: GraphConfig = dataclasses.field(default_factory=GraphConfig)
+    dimred: DimRedConfig = dataclasses.field(default_factory=DimRedConfig)
+    search: SearchConfig = dataclasses.field(default_factory=SearchConfig)
+    out_dir: str = "results"
+
+    def to_json(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_json(cls, obj: dict[str, Any]) -> "ExperimentConfig":
+        obj = dict(obj)
+        graph = GraphConfig(**obj.pop("graph", {}))
+        dimred = DimRedConfig(**obj.pop("dimred", {}))
+        search_d = obj.pop("search", {})
+        if "efs" in search_d:
+            search_d["efs"] = tuple(search_d["efs"])
+        search = SearchConfig(**search_d)
+        return cls(graph=graph, dimred=dimred, search=search, **obj)
+
+    @classmethod
+    def load(cls, path: str, **overrides) -> "ExperimentConfig":
+        with open(path) as f:
+            obj = json.load(f)
+        obj.update(overrides)
+        return cls.from_json(obj)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_json(), f, indent=2)

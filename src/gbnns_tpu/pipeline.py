@@ -1,0 +1,169 @@
+"""End-to-end experiment pipeline: dataset → GT → projection → graph →
+search sweep → results.
+
+Capability parity: the reference's per-dataset driver scripts (SURVEY.md
+§4.4) — with the same staged-artifact semantics (each stage's output is
+written to ``cfg.out_dir``; reruns reuse nothing implicitly, stages are
+explicit functions a caller can mix).
+
+Design note (graph space): the kNN graph is built on the **full-dimension**
+vectors — the graph encodes true neighborhood structure — while the walk
+evaluates distances in the **reduced** space and the final pool is re-ranked
+at full dimension (BASELINE.json:5). This matches the reference's split of
+index-construction vs. query-time cost: projection changes per-hop cost, not
+graph topology.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import numpy as np
+
+from gbnns_tpu.config import ExperimentConfig
+
+
+def prepare_data(cfg: ExperimentConfig):
+    from gbnns_tpu.io.datasets import load_dataset
+
+    ds = load_dataset(cfg.dataset, scale=cfg.scale, max_base=cfg.max_base,
+                      seed=cfg.seed)
+    return ds
+
+
+def compute_gt(cfg: ExperimentConfig, base, query, k: int = 100):
+    from gbnns_tpu.eval.recall import exact_ground_truth
+
+    return exact_ground_truth(query, base, k=min(k, base.shape[0]),
+                              metric=cfg.metric)
+
+
+def fit_projection(cfg: ExperimentConfig, base, query, gt):
+    """Returns (base_lo, query_lo, artifact_dict)."""
+    m = cfg.dimred.method
+    if m == "none":
+        return base, query, {}
+    if m == "pca":
+        from gbnns_tpu.dimred.pca import pca_fit, pca_transform
+
+        model = pca_fit(base, cfg.dimred.d_out)
+        normalize = cfg.metric == "angular"
+        return (pca_transform(model, base, normalize=normalize),
+                pca_transform(model, query, normalize=normalize),
+                {"pca_mean": model.mean, "pca_components": model.components})
+    from gbnns_tpu.dimred.train import TrainConfig, project, train_projection
+
+    nbrs = gt_for_training(cfg, base, gt)
+    tc = TrainConfig(d_out=cfg.dimred.d_out, model=m, hidden=cfg.dimred.hidden,
+                     metric=cfg.metric, margin=cfg.dimred.margin,
+                     lr=cfg.dimred.lr, batch_size=cfg.dimred.batch_size,
+                     steps=cfg.dimred.steps, k_pos=cfg.dimred.k_pos,
+                     hard_negatives=cfg.dimred.hard_negatives,
+                     seed=cfg.dimred.seed)
+    trained = train_projection(base, nbrs, tc)
+    return project(trained, base), project(trained, query), {"trained": trained}
+
+
+def gt_for_training(cfg: ExperimentConfig, base, gt_query):
+    """Training positives: each base node's true near neighbors — the
+    base-vs-base GT (the kNN graph rows double as supervision,
+    SURVEY §4.2)."""
+    from gbnns_tpu.eval.recall import exact_ground_truth
+
+    nbrs = exact_ground_truth(base, base, k=cfg.dimred.k_pos + 1,
+                              metric=cfg.metric)
+    return nbrs[:, 1:]
+
+
+def build_graph(cfg: ExperimentConfig, base):
+    from gbnns_tpu.build.knn_graph import build_knn_graph
+
+    g = cfg.graph
+    t0 = time.perf_counter()
+    graph = build_knn_graph(base, g.k, metric=cfg.metric, chunk=g.chunk,
+                            node_chunk=g.node_chunk, exact=g.exact,
+                            recall_target=g.recall_target,
+                            precision=g.precision, connect=g.connect)
+    return graph, time.perf_counter() - t0
+
+
+def run_pipeline(cfg: ExperimentConfig) -> dict[str, Any]:
+    from gbnns_tpu.cli import _run_search
+    from gbnns_tpu.eval.bench import pareto, sweep
+
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    ds = prepare_data(cfg)
+    base, query = ds.base, ds.query
+    gt = ds.gt if ds.gt is not None else compute_gt(cfg, base, query)
+
+    base_lo, query_lo, artifacts = fit_projection(cfg, base, query, gt)
+    graph, build_time = build_graph(cfg, base)
+
+    if cfg.n_devices and cfg.n_devices > 1:
+        results = _sharded_sweep(cfg, base, base_lo, query, query_lo, gt)
+    else:
+        def run_one(ef):
+            r, _ = _run_search(base, base_lo, query, query_lo, graph, gt, ef,
+                               cfg.search.k, cfg.metric,
+                               cfg.search.num_entries, cfg.search.max_hops,
+                               cfg.search.visited_mode)
+            return r
+        results = sweep(run_one, list(cfg.search.efs))
+
+    front = pareto(results)
+    summary = {
+        "name": cfg.name,
+        "dataset": cfg.dataset,
+        "n_base": int(base.shape[0]),
+        "dim": int(base.shape[1]),
+        "d_out": (None if cfg.dimred.method == "none" else cfg.dimred.d_out),
+        "method": cfg.dimred.method,
+        "graph_k": cfg.graph.k,
+        "build_time_s": build_time,
+        "results": [r.to_json() for r in results],
+        "pareto": [r.to_json() for r in front],
+    }
+    out_path = os.path.join(cfg.out_dir, f"{cfg.name}.json")
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=2)
+    return {"summary": summary, "graph": graph, "artifacts": artifacts,
+            "out_path": out_path}
+
+
+def _sharded_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
+    import jax
+
+    from gbnns_tpu.eval.bench import BenchResult, time_search
+    from gbnns_tpu.eval.recall import recall_at_k
+    from gbnns_tpu.search.sharded import (build_sharded_index, make_mesh,
+                                          sharded_search)
+
+    mesh = make_mesh(cfg.n_devices)
+    idx = build_sharded_index(
+        base, cfg.graph.k, mesh, base_lo=base_lo, metric=cfg.metric,
+        build_kwargs=dict(chunk=cfg.graph.chunk,
+                          node_chunk=cfg.graph.node_chunk,
+                          exact=cfg.graph.exact, connect=cfg.graph.connect))
+    results = []
+    for ef in cfg.search.efs:
+        def run():
+            return sharded_search(idx, query_lo, cfg.search.k, ef=ef,
+                                  num_entries=cfg.search.num_entries,
+                                  max_hops=cfg.search.max_hops,
+                                  metric=cfg.metric)
+        qps, sec, (ids, dists) = time_search(run, query_lo.shape[0],
+                                             warmup=1, iters=3)
+        ids = np.asarray(ids)
+        r = BenchResult(
+            label=f"sharded-ef{ef}", ef=ef, qps=qps, latency_ms=sec * 1e3,
+            recall_at_1=recall_at_k(ids, gt, 1),
+            recall_at_10=recall_at_k(ids, gt, min(10, cfg.search.k)),
+            n_queries=query_lo.shape[0], dist_comps_per_query=float("nan"),
+            hops=-1, extra={"n_devices": cfg.n_devices})
+        results.append(r)
+        print(f"  ef={ef:4d}  R@1={r.recall_at_1:.4f}  "
+              f"R@10={r.recall_at_10:.4f}  QPS={r.qps:,.0f}", flush=True)
+    return results

@@ -1,0 +1,108 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gbnns_tpu.cli import main as cli_main
+from gbnns_tpu.config import ExperimentConfig
+from gbnns_tpu.io.vecs import read_fvecs, read_ivecs, write_fvecs
+from gbnns_tpu.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory, fixture_data):
+    d = tmp_path_factory.mktemp("cli_data")
+    base, query = fixture_data
+    write_fvecs(str(d / "base.fvecs"), base)
+    write_fvecs(str(d / "query.fvecs"), query)
+    return d
+
+
+def test_cli_gt_build_search_roundtrip(data_dir, fixture_gt, tmp_path):
+    base_p = str(data_dir / "base.fvecs")
+    query_p = str(data_dir / "query.fvecs")
+    gt_p = str(tmp_path / "gt.ivecs")
+    graph_p = str(tmp_path / "graph.npy")
+
+    cli_main(["gt", "--base", base_p, "--query", query_p, "--k", "10",
+              "--out", gt_p])
+    gt = read_ivecs(gt_p)
+    assert gt.shape == (128, 10)
+    # CLI ground truth must agree with the numpy oracle (top-1 ids)
+    agree = (np.asarray(gt)[:, 0] == fixture_gt[:, 0]).mean()
+    assert agree > 0.99
+
+    cli_main(["build", "--base", base_p, "--k", "8",
+              "--chunk", "1024", "--node-chunk", "1024", "--out", graph_p])
+    g = np.load(graph_p)
+    assert g.shape == (2048, 8)
+
+    out_p = str(tmp_path / "ids.ivecs")
+    cli_main(["search", "--base", base_p, "--query", query_p,
+              "--graph", graph_p, "--gt", gt_p, "--ef", "64",
+              "--out", out_p])
+    ids = read_ivecs(out_p)
+    assert ids.shape == (128, 10)
+
+
+def test_cli_train_pca(data_dir, tmp_path):
+    out_dir = str(tmp_path / "proj")
+    cli_main(["train", "--base", str(data_dir / "base.fvecs"),
+              "--query", str(data_dir / "query.fvecs"),
+              "--method", "pca", "--d-out", "8", "--out", out_dir])
+    base_lo = read_fvecs(os.path.join(out_dir, "base_lo.fvecs"))
+    assert base_lo.shape == (2048, 8)
+
+
+def test_pipeline_end_to_end(tmp_path):
+    cfg = ExperimentConfig.from_json({
+        "name": "fixture_e2e", "dataset": "fixture", "scale": 1.0,
+        "out_dir": str(tmp_path),
+        "graph": {"k": 8, "chunk": 1024, "node_chunk": 1024},
+        "dimred": {"method": "linear", "d_out": 8, "steps": 300,
+                   "batch_size": 256, "k_pos": 5},
+        "search": {"k": 10, "efs": [16, 64], "num_entries": 16},
+    })
+    out = run_pipeline(cfg)
+    s = out["summary"]
+    # plumbing smoke test: 32d->8d projection is intentionally lossy, so the
+    # bar is "search works and rerank recovers most of it", not parity
+    assert s["results"][-1]["recall_at_10"] > 0.6
+    assert s["build_time_s"] > 0
+    saved = json.load(open(out["out_path"]))
+    assert saved["name"] == "fixture_e2e"
+    assert len(saved["pareto"]) >= 1
+
+
+def test_pipeline_sharded(tmp_path):
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    cfg = ExperimentConfig.from_json({
+        "name": "fixture_sharded", "dataset": "fixture", "n_devices": 4,
+        "out_dir": str(tmp_path),
+        "graph": {"k": 8, "chunk": 1024, "node_chunk": 1024},
+        "dimred": {"method": "none"},
+        "search": {"k": 10, "efs": [32], "num_entries": 16},
+    })
+    out = run_pipeline(cfg)
+    assert out["summary"]["results"][0]["recall_at_10"] > 0.85
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = ExperimentConfig(name="x", dataset="glove", metric="angular")
+    p = str(tmp_path / "c.json")
+    cfg.save(p)
+    loaded = ExperimentConfig.load(p)
+    assert loaded == cfg
+
+
+def test_checked_in_configs_parse():
+    import glob
+    paths = glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "*.json"))
+    assert len(paths) == 5
+    for p in paths:
+        cfg = ExperimentConfig.load(p)
+        assert cfg.dataset in ("sift1m", "gist1m", "glove", "deep10m")
