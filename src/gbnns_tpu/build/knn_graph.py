@@ -11,17 +11,12 @@ matmul. This is the "kNN-graph build time" headline metric (BASELINE.json:2).
 
 from __future__ import annotations
 
+import functools
 import time
 
-import jax.numpy as jnp
 import numpy as np
-
-import functools
-
-import jax
 import jax.numpy as jnp
 
-from gbnns_tpu.kernels.distance import pairwise_dists
 from gbnns_tpu.kernels.topk import knn_chunked
 
 
@@ -45,19 +40,23 @@ def build_knn_graph(base, K: int, *, metric: str = "l2",
     if K >= n:
         raise ValueError(f"K={K} >= n={n}")
     xb = jnp.asarray(base if dtype is None else base.astype(dtype))
-    graph = np.empty((n, K), dtype=np.int32)
     t0 = time.perf_counter()
+    # Accumulate per-chunk results ON DEVICE and transfer once at the end:
+    # every device→host transfer on the axon relay can stall O(10s) under
+    # load, so a transfer per node chunk dominated build time (402s vs ~5s
+    # of compute measured at n=100k).
+    parts = []
     for off in range(0, n, node_chunk):
         hi = min(off + node_chunk, n)
         _, ids = knn_chunked(xb[off:hi], xb, K + 1, metric=metric,
                              chunk=chunk, exact=exact,
                              recall_target=recall_target, precision=precision)
-        ids = np.asarray(ids)
-        graph[off:hi] = _drop_self(ids, off)
+        parts.append(ids)
         if verbose:
-            done = hi / n
-            dt = time.perf_counter() - t0
-            print(f"  knn-graph {hi}/{n} ({done:.0%}) {dt:.1f}s", flush=True)
+            print(f"  knn-graph {hi}/{n} ({hi / n:.0%}) "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
+    ids_all = np.asarray(jnp.concatenate(parts, axis=0))
+    graph = _drop_self(ids_all, 0)
     if connect:
         graph = ensure_connected(base, graph, metric=metric, verbose=verbose)
     return graph
@@ -78,64 +77,84 @@ def _drop_self(ids: np.ndarray, row_offset: int) -> np.ndarray:
     return ids[keep].reshape(m, kp1 - 1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
-def _propagate_labels(graph: jax.Array, max_iters: int = 128) -> jax.Array:
-    """Weakly-connected-component labels of the directed graph (n, K), fully
-    on device: iterative min-label propagation along forward edges (gather)
-    and reverse edges (scatter-min), until fixpoint. O(diameter) sweeps, each
-    one a big vectorized gather/scatter — the TPU-native replacement for a
-    host-side union-find."""
-    n = graph.shape[0]
-    init = jnp.arange(n, dtype=jnp.int32)
-
-    def cond(state):
-        labels, changed, it = state
-        return changed & (it < max_iters)
-
-    def body(state):
-        labels, _, it = state
-        fwd = jnp.min(jnp.take(labels, graph, axis=0), axis=1)
-        new = jnp.minimum(labels, fwd)
-        new = new.at[graph].min(labels[:, None])
-        return new, jnp.any(new != labels), it + 1
-
-    labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), jnp.int32(0)))
-    return labels
+# Connectivity runs on the HOST with vectorized-numpy BFS, not on device:
+# TPU scatter with millions of duplicate indices (the natural device
+# formulation of label propagation) serializes and was measured to hang for
+# minutes at n=100k, while level-synchronous numpy BFS is O(E) and finishes
+# in milliseconds. Graph analysis is a build-time, host-side concern — the
+# device does the O(n²) distance math, the host does the O(E) bookkeeping.
 
 
-def connected_components(graph) -> np.ndarray:
-    """Component label per node (weak connectivity), as int32 (n,)."""
-    return np.asarray(_propagate_labels(jnp.asarray(graph, dtype=jnp.int32)))
+def _reverse_csr(graph: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """CSR of incoming edges: in-neighbors of v are rsrc[indptr[v]:indptr[v+1]]."""
+    n, K = graph.shape
+    src = np.repeat(np.arange(n, dtype=np.int64), K)
+    dst = graph.ravel().astype(np.int64)
+    valid = dst >= 0
+    src, dst = src[valid], dst[valid]
+    order = np.argsort(dst, kind="stable")
+    rsrc = src[order].astype(np.int32)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(dst, minlength=n), out=indptr[1:])
+    return indptr, rsrc
+
+
+def _gather_csr(indptr: np.ndarray, data: np.ndarray,
+                nodes: np.ndarray) -> np.ndarray:
+    """Concatenate data[indptr[v]:indptr[v+1]] for all v in nodes (vectorized)."""
+    counts = (indptr[nodes + 1] - indptr[nodes]).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=data.dtype)
+    starts = indptr[nodes]
+    # index trick: offsets within each run + repeated starts
+    run_ids = np.repeat(np.arange(len(nodes)), counts)
+    offsets = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    return data[starts[run_ids] + offsets]
 
 
 def forward_reachable(graph, entry_ids) -> np.ndarray:
     """Boolean mask: directed-reachable from ``entry_ids`` (the walker's
     reachability guarantee checked by ``ensure_connected``)."""
-    return np.asarray(_forward_reachable(
-        jnp.asarray(graph, dtype=jnp.int32),
-        jnp.asarray(entry_ids, dtype=jnp.int32)))
-
-
-@functools.partial(jax.jit, static_argnames=("max_iters",))
-def _forward_reachable(graph: jax.Array, seeds: jax.Array,
-                       max_iters: int = 512) -> jax.Array:
-    """Boolean mask of nodes reachable from ``seeds`` along *directed*
-    edges, by on-device frontier propagation (scatter-or per sweep)."""
+    graph = np.asarray(graph)
     n = graph.shape[0]
-    init = jnp.zeros((n,), jnp.bool_).at[seeds].set(True)
-
-    def cond(state):
-        reached, changed, it = state
-        return changed & (it < max_iters)
-
-    def body(state):
-        reached, _, it = state
-        new = reached.at[graph].max(reached[:, None])
-        return new, jnp.any(new != reached), it + 1
-
-    reached, _, _ = jax.lax.while_loop(
-        cond, body, (init, jnp.bool_(True), jnp.int32(0)))
+    reached = np.zeros(n, dtype=bool)
+    frontier = np.unique(np.asarray(entry_ids))
+    frontier = frontier[(frontier >= 0) & (frontier < n)]
+    reached[frontier] = True
+    while frontier.size:
+        nxt = graph[frontier].ravel()
+        nxt = nxt[nxt >= 0]
+        nxt = np.unique(nxt)
+        nxt = nxt[~reached[nxt]]
+        reached[nxt] = True
+        frontier = nxt
     return reached
+
+
+def connected_components(graph) -> np.ndarray:
+    """Component label per node (weak connectivity), as int32 (n,).
+    Level-synchronous BFS over forward + reverse edges; O(E) total."""
+    graph = np.asarray(graph)
+    n = graph.shape[0]
+    indptr, rsrc = _reverse_csr(graph)
+    labels = np.full(n, -1, dtype=np.int32)
+    comp = 0
+    for seed in range(n):
+        if labels[seed] >= 0:
+            continue
+        labels[seed] = comp
+        frontier = np.array([seed], dtype=np.int64)
+        while frontier.size:
+            fwd = graph[frontier].ravel()
+            fwd = fwd[fwd >= 0]
+            rev = _gather_csr(indptr, rsrc, frontier)
+            nxt = np.unique(np.concatenate([fwd, rev.astype(np.int64)]))
+            nxt = nxt[labels[nxt] < 0]
+            labels[nxt] = comp
+            frontier = nxt
+        comp += 1
+    return labels
 
 
 def ensure_connected(base, graph: np.ndarray, *, metric: str = "l2",
@@ -154,7 +173,7 @@ def ensure_connected(base, graph: np.ndarray, *, metric: str = "l2",
     graphs are naturally near-connected; a general engine must not rely on
     that.
 
-    Each round, on device: forward-reachability fixpoint from the entries;
+    Each round: host-BFS forward reachability from the entries;
     weak-component labels restricted to the unreached set; then for one
     representative per unreached component, the exact nearest *reached* node
     (one batched MXU distance sweep) donates its worst adjacency slot to a
@@ -165,16 +184,14 @@ def ensure_connected(base, graph: np.ndarray, *, metric: str = "l2",
 
     graph = np.array(graph, dtype=np.int32, copy=True)
     n, K = graph.shape
-    base_j = jnp.asarray(base)
     if entry_ids is None:
         entry_ids = np.asarray(default_entry_ids(n))
-    entries_j = jnp.asarray(entry_ids, dtype=jnp.int32)
 
     # A node's last slot is sacrificed at most once, ever: re-donating it in
     # a later round would sever the earlier bridge and oscillate.
     used: set[int] = set()
     for _ in range(max_rounds):
-        reached = np.asarray(_forward_reachable(jnp.asarray(graph), entries_j))
+        reached = forward_reachable(graph, entry_ids)
         if reached.all():
             break
         # Weak components among unreached nodes only: mask out any edge that
@@ -182,7 +199,7 @@ def ensure_connected(base, graph: np.ndarray, *, metric: str = "l2",
         # leak across the reached boundary.
         self_col = np.arange(n, dtype=np.int32)[:, None]
         masked = np.where(reached[graph] | reached[:, None], self_col, graph)
-        labels = np.asarray(_propagate_labels(jnp.asarray(masked)))
+        labels = connected_components(masked)
         # one representative per unreached component
         seen: dict[int, int] = {}
         reps = []
@@ -195,8 +212,18 @@ def ensure_connected(base, graph: np.ndarray, *, metric: str = "l2",
         if verbose:
             print(f"  ensure_connected: {len(reps)} unreached components "
                   f"({(~reached).sum()} nodes)", flush=True)
-        d = np.array(pairwise_dists(base_j[reps], base_j, metric=metric,
-                                    precision="highest"))
+        # Host BLAS, deliberately not the device kernel: ensure_connected is
+        # a handful of thin (C, n) distance rows per round, and each round's
+        # device→host transfer can stall O(10s) on the axon relay — numpy
+        # sgemm does the same work in well under a second.
+        reps_v = np.asarray(base, dtype=np.float32)[reps]
+        base_v = np.asarray(base, dtype=np.float32)
+        if metric in ("ip", "angular"):
+            d = -(reps_v @ base_v.T)
+        else:
+            d = (np.sum(reps_v * reps_v, -1)[:, None]
+                 - 2.0 * (reps_v @ base_v.T)
+                 + np.sum(base_v * base_v, -1)[None, :])
         d[:, ~reached] = np.inf  # bridge source must already be reachable
         if used:
             d[:, np.fromiter(used, dtype=np.int64)] = np.inf
