@@ -200,43 +200,52 @@ def ensure_connected(base, graph: np.ndarray, *, metric: str = "l2",
         self_col = np.arange(n, dtype=np.int32)[:, None]
         masked = np.where(reached[graph] | reached[:, None], self_col, graph)
         labels = connected_components(masked)
-        # one representative per unreached component
-        seen: dict[int, int] = {}
-        reps = []
-        for node in np.flatnonzero(~reached):
-            lab = labels[node]
-            if lab not in seen:
-                seen[lab] = node
-                reps.append(node)
-        reps = np.asarray(reps, dtype=np.int64)
+        # Representatives: one per unreached weak component, PLUS every
+        # unreached node with no incoming edge at all — such nodes can never
+        # become reachable except through a bridge, so deferring them only
+        # adds rounds (measured: collapses ~25 rounds to ~3 at n=100k).
+        uniq_labels, first_members = np.unique(labels[~reached],
+                                               return_index=True)
+        comp_reps = np.flatnonzero(~reached)[first_members]
+        indeg = np.bincount(graph[graph >= 0].ravel(), minlength=n)
+        orphan_reps = np.flatnonzero((indeg == 0) & ~reached)
+        reps = np.unique(np.concatenate([comp_reps, orphan_reps]))
         if verbose:
-            print(f"  ensure_connected: {len(reps)} unreached components "
-                  f"({(~reached).sum()} nodes)", flush=True)
-        # Host BLAS, deliberately not the device kernel: ensure_connected is
-        # a handful of thin (C, n) distance rows per round, and each round's
-        # device→host transfer can stall O(10s) on the axon relay — numpy
-        # sgemm does the same work in well under a second.
-        reps_v = np.asarray(base, dtype=np.float32)[reps]
+            print(f"  ensure_connected: {len(comp_reps)} components, "
+                  f"{len(orphan_reps)} orphans ({(~reached).sum()} nodes "
+                  f"unreached)", flush=True)
+        # Host BLAS, deliberately not the device kernel: these are thin
+        # (C, n) distance rows, and each round's device→host transfer can
+        # stall O(10s) on the axon relay — numpy sgemm does the same work in
+        # well under a second. Chunked over reps to bound memory.
         base_v = np.asarray(base, dtype=np.float32)
-        if metric in ("ip", "angular"):
-            d = -(reps_v @ base_v.T)
-        else:
-            d = (np.sum(reps_v * reps_v, -1)[:, None]
-                 - 2.0 * (reps_v @ base_v.T)
-                 + np.sum(base_v * base_v, -1)[None, :])
-        d[:, ~reached] = np.inf  # bridge source must already be reachable
-        if used:
-            d[:, np.fromiter(used, dtype=np.int64)] = np.inf
-        sources = d.argmin(axis=1).astype(np.int32)
-        # Collisions (two reps picking the same source this round) would
-        # overwrite the same slot; keep the first, defer the rest.
-        for i, (rep, src) in enumerate(zip(reps, sources)):
-            if int(src) in used or not np.isfinite(d[i, src]):
-                continue
-            used.add(int(src))
-            used.add(int(rep))  # rep's last slot now holds the reverse bridge
-            graph[src, K - 1] = rep
-            graph[rep, K - 1] = src
+        base_sq = np.sum(base_v * base_v, axis=-1)
+        invalid_cols = ~reached
+        used_arr = np.fromiter(used, dtype=np.int64) if used else None
+        for off in range(0, len(reps), 2048):
+            rs = reps[off:off + 2048]
+            rv = base_v[rs]
+            if metric in ("ip", "angular"):
+                d = -(rv @ base_v.T)
+            else:
+                d = (np.sum(rv * rv, -1)[:, None] - 2.0 * (rv @ base_v.T)
+                     + base_sq[None, :])
+            d[:, invalid_cols] = np.inf  # source must already be reachable
+            if used_arr is not None and used_arr.size:
+                d[:, used_arr] = np.inf
+            sources = d.argmin(axis=1).astype(np.int32)
+            # Collisions (two reps picking the same source this round) would
+            # overwrite the same slot; keep the first, defer the rest.
+            for i, (rep, src) in enumerate(zip(rs, sources)):
+                if int(src) in used or int(rep) in used \
+                        or not np.isfinite(d[i, src]):
+                    continue
+                used.add(int(src))
+                used.add(int(rep))  # rep's last slot holds the reverse bridge
+                graph[src, K - 1] = rep
+                graph[rep, K - 1] = src
+            if used:
+                used_arr = np.fromiter(used, dtype=np.int64)
     return graph
 
 
