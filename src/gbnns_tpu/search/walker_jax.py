@@ -73,19 +73,29 @@ def _batched_dists(q, vecs, vec_sqnorms, q_sqnorms, metric, precision=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ef", "max_hops", "metric", "visited_mode", "precision"),
+    static_argnames=("ef", "max_hops", "metric", "visited_mode", "precision",
+                     "expand"),
 )
 def beam_search(queries, base, graph, entry_ids, *, ef: int,
                 max_hops: int = 256, metric: str = "l2",
                 visited_mode: str = "beam",
                 base_sqnorms: jax.Array | None = None,
-                precision: str = "highest") -> SearchResult:
+                precision: str = "highest",
+                expand: int = 4) -> SearchResult:
     """Lockstep beam search of ``queries (B,d)`` over ``graph (n,K)`` with
     vectors ``base (n,d)`` (search space — typically the reduced-dim
     projection). ``entry_ids (E,)`` are shared entry points (E <= ef).
 
     Greedy search is the ``ef=1``-pool limit; the reference's recall knob is
     this same ``ef`` (SURVEY §4.3 "ef sweep").
+
+    ``expand``: frontier nodes expanded per lockstep hop. The reference's
+    scalar loop pops one candidate at a time; on TPU each hop is a fixed
+    sequence of fused ops whose launch overhead dominates the tiny per-node
+    math, so expanding the M best unexpanded pool entries per hop amortizes
+    that overhead M-fold and shortens the sequential hop chain (the standard
+    lockstep/multi-expand reformulation of best-first search). expand=1
+    reproduces the reference's expansion order exactly.
 
     ``precision`` defaults to "highest": per-hop distance matvecs are tiny
     (B x K x d), so full-f32 MXU passes cost nothing measurable, while the
@@ -102,6 +112,7 @@ def beam_search(queries, base, graph, entry_ids, *, ef: int,
     E = entry_ids.shape[0]
     if E > ef:
         raise ValueError(f"entry count {E} > ef {ef}")
+    M = max(1, min(expand, ef))
 
     qf = queries.astype(jnp.float32)
     q_sq = squared_norms(qf)
@@ -137,37 +148,45 @@ def beam_search(queries, base, graph, entry_ids, *, ef: int,
         *_, hop, any_active = state
         return (hop < max_hops) & any_active
 
+    rows_b = jnp.arange(B, dtype=jnp.int32)[:, None]
+
     def body(state):
         beam_ids, beam_d, expanded, visited, n_dist, hop, _ = state
 
-        # -- frontier: best unexpanded pool entry per query -------------
+        # -- frontier: M best unexpanded pool entries per query ---------
         unexp_d = jnp.where(expanded, _INF, beam_d)
-        f_pos = jnp.argmin(unexp_d, axis=1)                         # (B,)
-        best_unexp = jnp.take_along_axis(unexp_d, f_pos[:, None], 1)[:, 0]
+        neg_f, f_pos = jax.lax.top_k(-unexp_d, M)                   # (B,M)
+        f_d = -neg_f
         worst = beam_d[:, -1]                                       # pool sorted
-        active = (best_unexp < _INF) & (best_unexp <= worst)
-        f_id = jnp.take_along_axis(beam_ids, f_pos[:, None], 1)[:, 0]
-        f_id = jnp.where(active, f_id, 0)
+        # a frontier slot is live if it exists and can still improve the pool
+        live = (f_d < _INF) & (f_d <= worst[:, None])               # (B,M)
+        f_ids = jnp.take_along_axis(beam_ids, f_pos, axis=1)
+        f_ids = jnp.where(live, f_ids, 0)
 
-        slot = jax.nn.one_hot(f_pos, ef, dtype=jnp.bool_)
-        expanded = expanded | (slot & active[:, None])
+        expanded = expanded.at[rows_b, f_pos].max(live)
 
-        # -- evaluate the frontier's adjacency row ----------------------
-        nbrs = jnp.take(graph, f_id, axis=0)                        # (B,K)
+        # -- evaluate the frontiers' adjacency rows ---------------------
+        nbrs = jnp.take(graph, f_ids, axis=0).reshape(B, M * K)     # (B,MK)
+        nbrs = jnp.where(jnp.repeat(live, K, axis=1), nbrs, -1)
         nbrs_safe = jnp.maximum(nbrs, 0)
-        nv = jnp.take(base, nbrs_safe, axis=0)                      # (B,K,d)
+        nv = jnp.take(base, nbrs_safe, axis=0)                      # (B,MK,d)
         nsq = jnp.take(x_sq, nbrs_safe, axis=0)
         dist = _batched_dists(qf, nv, nsq, q_sq, metric,
-                              precision=precision)            # (B,K)
+                              precision=precision)                  # (B,MK)
 
         dup = jnp.any(nbrs[:, :, None] == beam_ids[:, None, :], axis=-1)
+        if M > 1:
+            # intra-candidate dedup: the M adjacency rows can share nodes;
+            # keep only the first occurrence in the flattened candidate list
+            earlier = (nbrs[:, :, None] == nbrs[:, None, :]) \
+                & (jnp.arange(M * K)[None, None, :] < jnp.arange(M * K)[None, :, None])
+            dup = dup | jnp.any(earlier, axis=-1)
         if visited_mode == "exact":
-            rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-            dup = dup | visited[rows, nbrs_safe]
-            mark = active[:, None] & (nbrs >= 0)
-            visited = visited.at[rows, nbrs_safe].max(mark)
+            dup = dup | visited[rows_b, nbrs_safe]
+            mark = (nbrs >= 0)
+            visited = visited.at[rows_b, nbrs_safe].max(mark)
 
-        invalid = (nbrs < 0) | dup | ~active[:, None]
+        invalid = (nbrs < 0) | dup
         cand_d = jnp.where(invalid, _INF, dist)
         n_dist = n_dist + jnp.sum(~invalid, axis=1).astype(jnp.int32)
 

@@ -60,9 +60,10 @@ def test_exact_visited_mode_matches_cpp_pool(fixture_data, graph_np):
     ef = 32
     c_ids, c_dists, _ = native.beam_search(base, graph_np, query[:32],
                                            entries, ef=ef)
+    # expand=1 reproduces the reference's one-pop-per-iteration order
     res = beam_search(jnp.asarray(query[:32]), jnp.asarray(base),
                       jnp.asarray(graph_np), jnp.asarray(entries), ef=ef,
-                      visited_mode="exact")
+                      visited_mode="exact", expand=1)
     t_ids = np.asarray(res.ids)
     # compare as sets per query (expansion order can differ on fp ties)
     agree = np.mean([
