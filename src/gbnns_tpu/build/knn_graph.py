@@ -24,7 +24,7 @@ def build_knn_graph(base, K: int, *, metric: str = "l2",
                     node_chunk: int = 8192, chunk: int = 65536,
                     exact: bool = True, recall_target: float = 0.99,
                     dtype=None, precision: str | None = None,
-                    connect: bool = True,
+                    connect: bool = True, backend: str = "xla",
                     verbose: bool = False) -> np.ndarray:
     """Build the exact (or near-exact) kNN graph: (n, K) int32 neighbor ids.
 
@@ -34,12 +34,22 @@ def build_knn_graph(base, K: int, *, metric: str = "l2",
 
     ``dtype`` optionally casts the distance-matmul inputs (e.g. bfloat16 for
     ~2x MXU throughput on the build; accumulation stays f32).
+
+    ``backend``: "xla" (streaming scan + lax.top_k) or "pallas" (the fused
+    VMEM-resident distance+top-k kernel, kernels.distance_topk_pallas).
     """
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown backend {backend!r}")
     base = np.asarray(base)
     n, d = base.shape
     if K >= n:
         raise ValueError(f"K={K} >= n={n}")
     xb = jnp.asarray(base if dtype is None else base.astype(dtype))
+    if backend == "pallas":
+        from gbnns_tpu.kernels.distance_topk_pallas import knn_pallas
+        xt = min(1024, _round_up_rows(n))
+        n_pad = -(-n // xt) * xt
+        xb_pad = jnp.pad(xb, ((0, n_pad - n), (0, 0)))
     t0 = time.perf_counter()
     # Accumulate per-chunk results ON DEVICE and transfer once at the end:
     # every device→host transfer on the axon relay can stall O(10s) under
@@ -48,9 +58,14 @@ def build_knn_graph(base, K: int, *, metric: str = "l2",
     parts = []
     for off in range(0, n, node_chunk):
         hi = min(off + node_chunk, n)
-        _, ids = knn_chunked(xb[off:hi], xb, K + 1, metric=metric,
-                             chunk=chunk, exact=exact,
-                             recall_target=recall_target, precision=precision)
+        if backend == "pallas":
+            _, ids = knn_pallas(xb[off:hi], xb_pad, K + 1, metric=metric,
+                                xt=xt, n_valid=n)
+        else:
+            _, ids = knn_chunked(xb[off:hi], xb, K + 1, metric=metric,
+                                 chunk=chunk, exact=exact,
+                                 recall_target=recall_target,
+                                 precision=precision)
         parts.append(ids)
         if verbose:
             print(f"  knn-graph {hi}/{n} ({hi / n:.0%}) "
@@ -60,6 +75,14 @@ def build_knn_graph(base, K: int, *, metric: str = "l2",
     if connect:
         graph = ensure_connected(base, graph, metric=metric, verbose=verbose)
     return graph
+
+
+def _round_up_rows(n: int) -> int:
+    """Largest power-of-two x-tile <= n rounded to 128-lane multiples."""
+    for cand in (1024, 512, 256, 128):
+        if n >= cand:
+            return cand
+    return 128
 
 
 def _drop_self(ids: np.ndarray, row_offset: int) -> np.ndarray:

@@ -134,7 +134,8 @@ def cmd_train(args):
 
 
 def _run_search(base_full, base_lo, query_full, query_lo, graph, gt, ef, k,
-                metric, num_entries, max_hops, visited_mode, iters=3):
+                metric, num_entries, max_hops, visited_mode, iters=3,
+                expand=4, dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -143,16 +144,18 @@ def _run_search(base_full, base_lo, query_full, query_lo, graph, gt, ef, k,
     from gbnns_tpu.search.rerank import rerank
     from gbnns_tpu.search.walker_jax import beam_search, default_entry_ids
 
-    qlo = jnp.asarray(query_lo)
+    sdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    qlo = jnp.asarray(query_lo, dtype=sdt)
     qfull = jnp.asarray(query_full)
-    blo = jnp.asarray(base_lo)
+    blo = jnp.asarray(base_lo, dtype=sdt)
     bfull = jnp.asarray(base_full)
     gj = jnp.asarray(graph)
     entries = default_entry_ids(base_lo.shape[0], min(num_entries, ef))
 
     def run():
         res = beam_search(qlo, blo, gj, entries, ef=ef, metric=metric,
-                          max_hops=max_hops, visited_mode=visited_mode)
+                          max_hops=max_hops, visited_mode=visited_mode,
+                          expand=expand)
         ids, dists = rerank(qfull, bfull, res.ids, k, metric=metric)
         return ids, dists, res.n_dist, res.hops
 
@@ -181,7 +184,8 @@ def cmd_search(args):
     gt = np.asarray(read_ivecs(args.gt)) if args.gt else None
     r, ids = _run_search(base, base_lo, query, q_lo, graph, gt, args.ef,
                          args.k, args.metric, args.num_entries, args.max_hops,
-                         args.visited_mode)
+                         args.visited_mode, expand=args.expand,
+                         dtype=args.dtype)
     print(json.dumps(r.to_json(), indent=2))
     if args.out:
         write_ivecs(args.out, ids)
@@ -205,7 +209,8 @@ def cmd_sweep(args):
     def run_one(ef):
         r, _ = _run_search(base, base_lo, query, q_lo, graph, gt, ef, args.k,
                            args.metric, args.num_entries, args.max_hops,
-                           args.visited_mode)
+                           args.visited_mode, expand=args.expand,
+                           dtype=args.dtype)
         return r
 
     sweep(run_one, efs, out_path=args.out)
@@ -296,6 +301,9 @@ def main(argv=None):
         sp.add_argument("--max-hops", type=int, default=256, dest="max_hops")
         sp.add_argument("--visited-mode", default="beam",
                         choices=["beam", "exact"], dest="visited_mode")
+        sp.add_argument("--expand", type=int, default=4)
+        sp.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"])
 
     sp = sub.add_parser("search", help="single beam-search run")
     add_search_args(sp)

@@ -45,6 +45,8 @@ class SearchConfig:
     num_entries: int = 32
     max_hops: int = 256
     visited_mode: str = "beam"
+    expand: int = 4                # frontier nodes expanded per lockstep hop
+    dtype: str = "float32"         # search-space storage: float32 | bfloat16
     batch_size: int = 0            # 0 = whole query set in one device batch
 
 

@@ -109,7 +109,9 @@ def run_pipeline(cfg: ExperimentConfig) -> dict[str, Any]:
             r, _ = _run_search(base, base_lo, query, query_lo, graph, gt, ef,
                                cfg.search.k, cfg.metric,
                                cfg.search.num_entries, cfg.search.max_hops,
-                               cfg.search.visited_mode)
+                               cfg.search.visited_mode,
+                               expand=cfg.search.expand,
+                               dtype=cfg.search.dtype)
             return r
         results = sweep(run_one, list(cfg.search.efs))
 
