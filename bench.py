@@ -2,10 +2,17 @@
 
 Measures the BASELINE.json:5 headline: QPS at matched recall@1/recall@10 on a
 SIFT-like corpus with a learned 128→32-d linear projection + full-dim
-re-rank. Baseline for ``vs_baseline``: 2x a single-H100-class graph-ANN
-engine at recall@10≈0.9, taken as 2 x 100k QPS = 200k QPS (CAGRA-class
-magnitude from PAPERS.md:7; no reference numbers were published —
-BASELINE.json:13). vs_baseline >= 1.0 means the ≥2x-H100 target is met.
+re-rank, using the framework's best engine for the hardware:
+
+  * flat  — projected MXU scan + exact re-rank (the TPU-native fast path:
+            the learned projection turns scoring into a thin dense matmul)
+  * graph — lockstep beam walker over the exact kNN graph (the reference's
+            algorithm re-architected; reported alongside)
+
+Baseline for ``vs_baseline``: 2x a single-H100-class graph-ANN engine at
+recall@10≈0.9, taken as 2 x 100k QPS = 200k QPS (CAGRA-class magnitude from
+PAPERS.md:7; the reference published no numbers — BASELINE.json:13).
+vs_baseline >= 1.0 means the ≥2x-H100 target is met.
 
 Prints ONE JSON line:
   {"metric": ..., "value": QPS, "unit": "queries/s", "vs_baseline": ...}
@@ -43,6 +50,7 @@ def main():
     from gbnns_tpu.dimred.train import TrainConfig, project, train_projection
     from gbnns_tpu.eval.recall import exact_ground_truth, recall_at_k
     from gbnns_tpu.io.synthetic import SyntheticSpec, make_synthetic
+    from gbnns_tpu.search.flat import FlatIndex
     from gbnns_tpu.search.rerank import rerank
     from gbnns_tpu.search.walker_jax import beam_search, default_entry_ids
 
@@ -73,46 +81,63 @@ def main():
 
     gt = exact_ground_truth(query, base, k=10, q_chunk=16384)
 
-    qlo, qfull = jnp.asarray(query_lo), jnp.asarray(query)
-    blo, bfull = jnp.asarray(base_lo), jnp.asarray(base)
-    gj = jnp.asarray(graph)
-
-    best = None
-    results = []
-    for ef in (32, 48, 64, 96, 128, 192):
-        entries = default_entry_ids(n, min(32, ef))
-
-        def run(ef=ef, entries=entries):
-            res = beam_search(qlo, blo, gj, entries, ef=ef, max_hops=192)
-            ids, _ = rerank(qfull, bfull, res.ids, 10)
-            return ids
-
-        ids = jax.block_until_ready(run())       # compile + recall
+    def timed(run, compile_first=True):
+        ids = jax.block_until_ready(run())[0]
         r1 = recall_at_k(np.asarray(ids), gt, 1)
         r10 = recall_at_k(np.asarray(ids), gt, 10)
-        t0 = time.perf_counter()
         iters = 3
+        t0 = time.perf_counter()
         for _ in range(iters):
             jax.block_until_ready(run())
-        qps = nq / ((time.perf_counter() - t0) / iters)
-        results.append(dict(ef=ef, qps=qps, r1=r1, r10=r10))
-        log(f"  ef={ef:4d} R@1={r1:.4f} R@10={r10:.4f} QPS={qps:,.0f}")
-        if r10 >= 0.90 and (best is None or qps > best["qps"]):
-            best = results[-1]
+        return nq / ((time.perf_counter() - t0) / iters), r1, r10
+
+    # ---- flat engine: projected MXU scan + rerank ---------------------
+    flat = FlatIndex(base, base_lo)
+    qlo_j = jnp.asarray(query_lo)
+    q_j = jnp.asarray(query)
+    best_flat = None
+    for c in (16, 32, 64, 128):
+        qps, r1, r10 = timed(lambda c=c: flat.search(q_j, qlo_j, k=10, c=c))
+        log(f"  flat c={c:4d} R@1={r1:.4f} R@10={r10:.4f} QPS={qps:,.0f}")
+        if r10 >= 0.90 and (best_flat is None or qps > best_flat["qps"]):
+            best_flat = dict(engine="flat", c=c, qps=qps, r1=r1, r10=r10)
         if r10 >= 0.995:
             break
 
-    if best is None:  # recall target unmet: report the highest-recall point
-        best = max(results, key=lambda r: r["r10"])
+    # ---- graph engine: lockstep beam walker + rerank ------------------
+    blo_j = jnp.asarray(base_lo)
+    bfull_j = jnp.asarray(base)
+    gj = jnp.asarray(graph)
+    best_graph = None
+    for ef in (32, 64, 128):
+        entries = default_entry_ids(n, min(32, ef))
+
+        def run(ef=ef, entries=entries):
+            res = beam_search(qlo_j, blo_j, gj, entries, ef=ef, max_hops=192)
+            return rerank(q_j, bfull_j, res.ids, 10)
+
+        qps, r1, r10 = timed(run)
+        log(f"  graph ef={ef:3d} R@1={r1:.4f} R@10={r10:.4f} QPS={qps:,.0f}")
+        if r10 >= 0.90 and (best_graph is None or qps > best_graph["qps"]):
+            best_graph = dict(engine="graph", ef=ef, qps=qps, r1=r1, r10=r10)
+        if r10 >= 0.97:
+            break
+
+    best = max([b for b in (best_flat, best_graph) if b],
+               key=lambda b: b["qps"], default=None)
+    if best is None:
+        best = dict(engine="none", qps=0.0, r1=0.0, r10=0.0)
     baseline_qps = 200_000.0
     out = {
         "metric": "qps@r10>=0.90 sift-like-100k 128d->32d rerank",
         "value": round(best["qps"], 1),
         "unit": "queries/s",
         "vs_baseline": round(best["qps"] / baseline_qps, 4),
+        "engine": best["engine"],
         "recall_at_1": round(best["r1"], 4),
         "recall_at_10": round(best["r10"], 4),
-        "ef": best["ef"],
+        "flat_best": best_flat,
+        "graph_best": best_graph,
         "graph_build_s": round(build_time, 1),
         "n_base": n,
         "total_bench_s": round(time.perf_counter() - t_start, 1),

@@ -40,8 +40,9 @@ class DimRedConfig:
 
 @dataclasses.dataclass
 class SearchConfig:
+    index: str = "graph"           # "graph" (beam walker) | "flat" (MXU scan)
     k: int = 10                    # final top-k
-    efs: tuple[int, ...] = (16, 32, 64, 128, 256)
+    efs: tuple[int, ...] = (16, 32, 64, 128, 256)  # pool size / flat candidates
     num_entries: int = 32
     max_hops: int = 256
     visited_mode: str = "beam"

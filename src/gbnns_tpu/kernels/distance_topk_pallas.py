@@ -45,11 +45,15 @@ def _knn_kernel(q_ref, x_ref, xsq_ref, out_d_ref, out_i_ref,
         qsq[:, :] = jnp.sum(qf * qf, axis=1, keepdims=True)
 
     # ---- distances for this tile: one MXU matmul ----------------------
+    # HIGHEST (3-pass f32) only applies to f32 inputs; Mosaic rejects it for
+    # bf16 operands ("Bad lhs type"), where single-pass is already native.
+    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     dots = jax.lax.dot_general(
         q_ref[:, :], x_ref[:, :],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )                                                       # (QT, XT)
     if metric == "l2":
         dist = qsq[:, :] - 2.0 * dots + xsq_ref[:, :]

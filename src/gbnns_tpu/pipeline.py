@@ -100,10 +100,15 @@ def run_pipeline(cfg: ExperimentConfig) -> dict[str, Any]:
     gt = ds.gt if ds.gt is not None else compute_gt(cfg, base, query)
 
     base_lo, query_lo, artifacts = fit_projection(cfg, base, query, gt)
-    graph, build_time = build_graph(cfg, base)
+    needs_graph = not (cfg.search.index == "flat"
+                       and not (cfg.n_devices and cfg.n_devices > 1))
+    graph, build_time = (build_graph(cfg, base) if needs_graph
+                         else (None, 0.0))
 
     if cfg.n_devices and cfg.n_devices > 1:
         results = _sharded_sweep(cfg, base, base_lo, query, query_lo, gt)
+    elif cfg.search.index == "flat":
+        results = _flat_sweep(cfg, base, base_lo, query, query_lo, gt)
     else:
         def run_one(ef):
             r, _ = _run_search(base, base_lo, query, query_lo, graph, gt, ef,
@@ -133,6 +138,35 @@ def run_pipeline(cfg: ExperimentConfig) -> dict[str, Any]:
         json.dump(summary, f, indent=2)
     return {"summary": summary, "graph": graph, "artifacts": artifacts,
             "out_path": out_path}
+
+
+def _flat_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
+    """Sweep the flat (projected MXU scan) index over candidate counts."""
+    import jax
+
+    from gbnns_tpu.eval.bench import BenchResult, time_search
+    from gbnns_tpu.eval.recall import recall_at_k
+    from gbnns_tpu.search.flat import FlatIndex
+
+    idx = FlatIndex(base, base_lo, metric=cfg.metric)
+    results = []
+    for c in cfg.search.efs:
+        def run(c=c):
+            return idx.search(query, query_lo, k=cfg.search.k, c=c)
+        qps, sec, (ids, dists) = time_search(run, query.shape[0],
+                                             warmup=1, iters=3)
+        ids = np.asarray(ids)
+        r = BenchResult(
+            label=f"flat-c{c}", ef=c, qps=qps, latency_ms=sec * 1e3,
+            recall_at_1=recall_at_k(ids, gt, 1),
+            recall_at_10=recall_at_k(ids, gt, min(10, cfg.search.k)),
+            n_queries=query.shape[0],
+            dist_comps_per_query=float(base.shape[0]),
+            hops=0, extra={"index": "flat"})
+        results.append(r)
+        print(f"  c={c:4d}  R@1={r.recall_at_1:.4f}  R@10={r.recall_at_10:.4f}"
+              f"  QPS={r.qps:,.0f}", flush=True)
+    return results
 
 
 def _sharded_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):

@@ -105,15 +105,19 @@ def build_sharded_index(base_full, K: int, mesh: Mesh, *,
 
 def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
                    num_entries: int = 32, max_hops: int = 256,
-                   metric: str = "l2",
+                   metric: str = "l2", engine: str = "graph",
                    rerank_metric: str | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Search all shards in parallel and merge: returns (ids, dists) with
-    *global* ids, (B, k) each. One jit'd shard_map program: per-shard walk →
+    *global* ids, (B, k) each. One jit'd shard_map program: per-shard
+    candidate generation (``engine="graph"``: lockstep beam walk over the
+    local subgraph; ``engine="flat"``: MXU scan of the local shard) →
     per-shard full-dim re-rank → all_gather(B*k scalars) over ICI →
     replicated merge."""
+    if engine not in ("graph", "flat"):
+        raise ValueError(f"unknown engine {engine!r}")
     axis = index.axis
     rr_metric = rerank_metric or metric
-    cache_key = (k, ef, num_entries, max_hops, metric, rr_metric)
+    cache_key = (k, ef, num_entries, max_hops, metric, rr_metric, engine)
     qj = jnp.asarray(np.asarray(queries, dtype=np.float32))
     if cache_key in index._fns:
         ids, dists = index._fns[cache_key](qj, index.base_lo,
@@ -123,9 +127,16 @@ def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
 
     def per_shard(q, base_lo, base_full, graph):
         base_lo, base_full, graph = base_lo[0], base_full[0], graph[0]
-        res = beam_search(q, base_lo, graph, entry, ef=ef, metric=metric,
-                          max_hops=max_hops)
-        ids, dists = rerank(q, base_full, res.ids, k, metric=rr_metric)
+        if engine == "flat":
+            from gbnns_tpu.kernels.topk import knn_chunked
+            _, cand = knn_chunked(q, base_lo, ef, metric=metric,
+                                  chunk=65536, exact=False,
+                                  precision="default")
+            ids, dists = rerank(q, base_full, cand, k, metric=rr_metric)
+        else:
+            res = beam_search(q, base_lo, graph, entry, ef=ef, metric=metric,
+                              max_hops=max_hops)
+            ids, dists = rerank(q, base_full, res.ids, k, metric=rr_metric)
         shard_id = jax.lax.axis_index(axis)
         gids = jnp.where(ids >= 0, ids + shard_id * index.n_shard, -1)
         dists = jnp.where(ids >= 0, dists, jnp.inf)

@@ -71,6 +71,29 @@ def _batched_dists(q, vecs, vec_sqnorms, q_sqnorms, metric, precision=None):
     return jnp.maximum(q_sqnorms[:, None] - 2.0 * dots + vec_sqnorms, 0.0)
 
 
+def pack_neighbors(graph, base, dtype=None):
+    """Inline each node's neighbor vectors next to its adjacency row:
+    returns (packed_vecs (n, K, d), packed_sqnorms (n, K)).
+
+    TPU gathers are row-rate-limited (~100M rows/s measured, regardless of
+    row size), so gathering K separate d-dim neighbor vectors per expanded
+    node costs K row-gathers, while one packed (K, d) row costs one. The
+    packed layout trades K x memory for ~K x fewer gathers — the dominant
+    walker cost (SURVEY §7.3; the same locality trick CAGRA-class GPU
+    engines use). Pass the result to ``beam_search(packed_vecs=...,
+    packed_sqnorms=...)``.
+    """
+    import numpy as np
+
+    graph = np.asarray(graph)
+    base_np = np.asarray(base)
+    packed = base_np[graph]                       # (n, K, d)
+    sq = (packed.astype(np.float32) ** 2).sum(-1)  # (n, K)
+    if dtype is not None:
+        packed = packed.astype(dtype)
+    return packed, sq.astype(np.float32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ef", "max_hops", "metric", "visited_mode", "precision",
@@ -81,7 +104,9 @@ def beam_search(queries, base, graph, entry_ids, *, ef: int,
                 visited_mode: str = "beam",
                 base_sqnorms: jax.Array | None = None,
                 precision: str = "highest",
-                expand: int = 4) -> SearchResult:
+                expand: int = 4,
+                packed_vecs: jax.Array | None = None,
+                packed_sqnorms: jax.Array | None = None) -> SearchResult:
     """Lockstep beam search of ``queries (B,d)`` over ``graph (n,K)`` with
     vectors ``base (n,d)`` (search space — typically the reduced-dim
     projection). ``entry_ids (E,)`` are shared entry points (E <= ef).
@@ -163,14 +188,25 @@ def beam_search(queries, base, graph, entry_ids, *, ef: int,
         f_ids = jnp.take_along_axis(beam_ids, f_pos, axis=1)
         f_ids = jnp.where(live, f_ids, 0)
 
-        expanded = expanded.at[rows_b, f_pos].max(live)
+        # mark expanded via broadcast-compare, NOT a scatter: TPU scatters
+        # serialize per element and dominated the hop (measured ~20ms/hop
+        # at B=8192 before this change)
+        iota_ef = jax.lax.broadcasted_iota(jnp.int32, (1, M, ef), 2)
+        hit = (iota_ef == f_pos[:, :, None]) & live[:, :, None]     # (B,M,ef)
+        expanded = expanded | jnp.any(hit, axis=1)
 
         # -- evaluate the frontiers' adjacency rows ---------------------
         nbrs = jnp.take(graph, f_ids, axis=0).reshape(B, M * K)     # (B,MK)
         nbrs = jnp.where(jnp.repeat(live, K, axis=1), nbrs, -1)
         nbrs_safe = jnp.maximum(nbrs, 0)
-        nv = jnp.take(base, nbrs_safe, axis=0)                      # (B,MK,d)
-        nsq = jnp.take(x_sq, nbrs_safe, axis=0)
+        if packed_vecs is not None:
+            # one (K, d) row-gather per expanded node instead of K row
+            # gathers: see pack_neighbors
+            nv = jnp.take(packed_vecs, f_ids, axis=0).reshape(B, M * K, d)
+            nsq = jnp.take(packed_sqnorms, f_ids, axis=0).reshape(B, M * K)
+        else:
+            nv = jnp.take(base, nbrs_safe, axis=0)                  # (B,MK,d)
+            nsq = jnp.take(x_sq, nbrs_safe, axis=0)
         dist = _batched_dists(qf, nv, nsq, q_sq, metric,
                               precision=precision)                  # (B,MK)
 

@@ -65,3 +65,14 @@ def test_sharded_padding_never_returned(fixture_data, mesh8):
     ids, dists = sharded_search(idx, query, 10, ef=32)
     ids = np.asarray(ids)
     assert (ids < 2041).all()
+
+
+def test_sharded_flat_engine(fixture_data, fixture_gt, sharded_index):
+    base, query = fixture_data
+    ids, dists = sharded_search(sharded_index, query, 10, ef=32,
+                                engine="flat")
+    ids = np.asarray(ids)
+    from gbnns_tpu.eval.recall import recall_at_k
+    r10 = recall_at_k(ids, fixture_gt, 10)
+    assert r10 >= 0.99, r10  # per-shard scan is near-exact
+    assert (ids >= 0).all() and (ids < base.shape[0]).all()
