@@ -55,7 +55,7 @@ def main():
     from gbnns_tpu.search.walker_jax import beam_search, default_entry_ids
 
     n = int(os.environ.get("GBNNS_BENCH_N", 100_000))
-    nq = int(os.environ.get("GBNNS_BENCH_Q", 8192))
+    nq = int(os.environ.get("GBNNS_BENCH_Q", 16384))
     steps = int(os.environ.get("GBNNS_BENCH_STEPS", 600))
     d, d_lo, K = 128, 32, 32
     log = lambda *a: print(*a, file=sys.stderr, flush=True)

@@ -218,6 +218,26 @@ def cmd_sweep(args):
         print(f"wrote {args.out}")
 
 
+def cmd_serve(args):
+    from gbnns_tpu.build.knn_graph import load_graph
+    from gbnns_tpu.io.vecs import read_fvecs
+    from gbnns_tpu.serve import SearchService, serve
+
+    base, _ = _load_base_query(args)
+    base_lo = (np.ascontiguousarray(read_fvecs(args.base_lo), dtype=np.float32)
+               if args.base_lo else None)
+    graph = np.asarray(load_graph(args.graph)) if args.graph else None
+    projection = None
+    if args.proj:
+        from gbnns_tpu.dimred.train import load_projection, project as _project
+        trained = load_projection(args.proj)
+        projection = lambda q: _project(trained, q)
+    svc = SearchService(base, base_lo, graph, metric=args.metric,
+                        engine=args.engine, ef=args.ef, c=args.c,
+                        projection=projection)
+    serve(svc, port=args.port, host=args.host)
+
+
 def cmd_pipeline(args):
     from gbnns_tpu.config import ExperimentConfig
     from gbnns_tpu.pipeline import run_pipeline
@@ -316,6 +336,18 @@ def main(argv=None):
     sp.add_argument("--efs", default="16,32,64,128,256")
     sp.add_argument("--out", help="results JSON path")
     sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser("serve", help="HTTP search service over staged artifacts")
+    add_data_args(sp, query=False)
+    sp.add_argument("--base-lo", dest="base_lo")
+    sp.add_argument("--graph")
+    sp.add_argument("--proj", help="projection checkpoint (proj.npz) to project raw queries")
+    sp.add_argument("--engine", default="flat", choices=["flat", "graph"])
+    sp.add_argument("--ef", type=int, default=64)
+    sp.add_argument("--c", type=int, default=64)
+    sp.add_argument("--port", type=int, default=8390)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("pipeline", help="full experiment from config")
     sp.add_argument("--config", help="config JSON (configs/*.json)")

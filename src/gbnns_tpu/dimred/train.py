@@ -43,6 +43,7 @@ class TrainConfig:
     steps: int = 2000
     k_pos: int = 10                # positives drawn from top-k_pos true NNs
     hard_negatives: bool = True
+    init: str = "pca"              # linear model init: "pca" | "orthogonal"
     seed: int = 0
 
     @property
@@ -75,6 +76,14 @@ def train_projection(base, neighbors, cfg: TrainConfig,
     model = make_model(cfg.model, cfg.d_out, hidden=cfg.hidden,
                        normalize=cfg.normalize)
     params = init_model(model, d, seed=cfg.seed)
+    if cfg.model == "linear" and cfg.init == "pca":
+        # Start from the classical optimum and let the triplet loss improve
+        # on it (on well-conditioned corpora PCA is already strong; random
+        # init wastes most of the step budget rediscovering it).
+        from gbnns_tpu.dimred.pca import pca_fit
+
+        pca = pca_fit(np.asarray(base), cfg.d_out)
+        params = {"params": {"proj": {"kernel": jnp.asarray(pca.components)}}}
     tx = optax.adam(cfg.lr)
     opt_state = tx.init(params)
 

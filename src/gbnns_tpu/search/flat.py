@@ -68,8 +68,10 @@ class FlatIndex:
 
     def search(self, queries_full, queries_lo=None, *, k: int = 10,
                c: int = 32, exact: bool = False):
-        qf = jnp.asarray(np.asarray(queries_full, np.float32))
-        ql = qf if queries_lo is None else jnp.asarray(np.asarray(queries_lo))
+        # jnp.asarray, NOT np.asarray: queries may already live on device,
+        # and a numpy round-trip is a D2H+H2D pair through the relay.
+        qf = jnp.asarray(queries_full, dtype=jnp.float32)
+        ql = qf if queries_lo is None else jnp.asarray(queries_lo)
         ql = ql.astype(self.base_lo.dtype)
         return flat_search(ql, self.base_lo, qf, self.base_full, k, c=c,
                            metric=self.metric, exact=exact,

@@ -42,7 +42,10 @@ def trained_fixture(fixture_data, fixture_gt):
     gt_self = exact_ground_truth(base[:2048], base, k=11, chunk=1024)
     # drop self column
     nbrs = gt_self[:, 1:]
-    cfg = TrainConfig(d_out=8, steps=300, batch_size=256, k_pos=10, seed=0)
+    # orthogonal init so the loss-decrease assertion tests the optimizer,
+    # not the strength of the PCA warm start
+    cfg = TrainConfig(d_out=8, steps=300, batch_size=256, k_pos=10, seed=0,
+                      init="orthogonal")
     return train_projection(base, nbrs, cfg), nbrs
 
 

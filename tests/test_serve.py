@@ -1,0 +1,87 @@
+"""Drive the HTTP serving surface end-to-end (stdlib client, CPU backend)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from gbnns_tpu.serve import SearchService, make_handler
+
+
+@pytest.fixture(scope="module")
+def server(fixture_data):
+    base, _ = fixture_data
+    svc = SearchService(base, max_wait_ms=1.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", svc
+    httpd.shutdown()
+    svc.stop()
+
+
+def _post(url, obj):
+    req = urllib.request.Request(url, data=json.dumps(obj).encode(),
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_healthz(server):
+    url, _ = server
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        obj = json.loads(r.read())
+    assert obj["status"] == "ok"
+    assert obj["n"] == 2048
+
+
+def test_search_roundtrip(server, fixture_data, fixture_gt):
+    url, _ = server
+    base, query = fixture_data
+    resp = _post(url + "/search", {"queries": query[:4].tolist(), "k": 5})
+    ids = np.asarray(resp["ids"])
+    assert ids.shape == (4, 5)
+    # exact flat scan on raw vectors: top-1 must match GT
+    assert (ids[:, 0] == fixture_gt[:4, 0]).mean() >= 0.75
+    assert resp["took_ms"] > 0
+
+
+def test_concurrent_requests_microbatch(server, fixture_data, fixture_gt):
+    url, _ = server
+    base, query = fixture_data
+    results = {}
+
+    def call(i):
+        results[i] = _post(url + "/search",
+                           {"queries": [query[i].tolist()], "k": 3})
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 8
+    hits = sum(results[i]["ids"][0][0] == int(fixture_gt[i, 0])
+               for i in range(8))
+    assert hits >= 6
+
+
+def test_bad_request_returns_400(server):
+    url, _ = server
+    req = urllib.request.Request(url + "/search", data=b'{"queries": "nope"}',
+                                 headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 400
+
+
+def test_unknown_route_404(server):
+    url, _ = server
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(url + "/nope", timeout=30)
+    assert exc.value.code == 404
