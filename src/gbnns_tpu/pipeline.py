@@ -136,6 +136,15 @@ def run_pipeline(cfg: ExperimentConfig) -> dict[str, Any]:
     out_path = os.path.join(cfg.out_dir, f"{cfg.name}.json")
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
+    try:  # paper-style artifact; optional (matplotlib present in this env)
+        from gbnns_tpu.eval.plot import plot_sweeps
+
+        png = os.path.join(cfg.out_dir, f"{cfg.name}.png")
+        plot_sweeps({cfg.name: summary["results"]}, png,
+                    title=f"{cfg.dataset}: recall vs QPS")
+        summary["plot"] = png
+    except Exception:
+        pass
     return {"summary": summary, "graph": graph, "artifacts": artifacts,
             "out_path": out_path}
 

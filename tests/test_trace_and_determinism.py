@@ -52,3 +52,18 @@ def test_projection_training_deterministic(fixture_data):
     leaves_b = jax.tree_util.tree_leaves(b["params"])
     for la, lb in zip(leaves_a, leaves_b):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_plot_sweeps_writes_png(tmp_path):
+    from gbnns_tpu.eval.plot import plot_sweeps
+
+    curves = {
+        "flat": [{"qps": 100000, "recall_at_10": 0.98},
+                 {"qps": 50000, "recall_at_10": 0.995}],
+        "graph": [{"qps": 15000, "recall_at_10": 0.93},
+                  {"qps": 7000, "recall_at_10": 0.95}],
+    }
+    out = str(tmp_path / "curve.png")
+    plot_sweeps(curves, out)
+    import os
+    assert os.path.getsize(out) > 10_000
