@@ -67,6 +67,12 @@ def build_knn_graph(base, K: int, *, metric: str = "l2",
                                  recall_target=recall_target,
                                  precision=precision)
         parts.append(ids)
+        # Bound the async dispatch queue: the device relay's client chokes
+        # (host CPU spin, no progress) when >~100 multi-second programs
+        # queue up; syncing every few chunks keeps the queue shallow while
+        # still overlapping dispatch with execution.
+        if len(parts) % 8 == 0:
+            ids.block_until_ready()
         if verbose:
             print(f"  knn-graph {hi}/{n} ({hi / n:.0%}) "
                   f"{time.perf_counter() - t0:.1f}s", flush=True)

@@ -106,3 +106,32 @@ def test_checked_in_configs_parse():
     for p in paths:
         cfg = ExperimentConfig.load(p)
         assert cfg.dataset in ("sift1m", "gist1m", "glove", "deep10m")
+
+
+def test_pipeline_angular_metric(tmp_path):
+    """GloVe-config path: angular metric end to end (normalized projection,
+    IP distances, flat + graph agreement)."""
+    cfg = ExperimentConfig.from_json({
+        "name": "fixture_angular", "dataset": "fixture", "metric": "angular",
+        "out_dir": str(tmp_path),
+        "graph": {"k": 8, "chunk": 1024, "node_chunk": 1024},
+        "dimred": {"method": "linear", "d_out": 8, "steps": 200,
+                   "batch_size": 256, "k_pos": 5},
+        "search": {"k": 10, "efs": [32], "num_entries": 16},
+    })
+    out = run_pipeline(cfg)
+    assert out["summary"]["results"][0]["recall_at_10"] > 0.5
+
+
+def test_pipeline_flat_index(tmp_path):
+    cfg = ExperimentConfig.from_json({
+        "name": "fixture_flat", "dataset": "fixture",
+        "out_dir": str(tmp_path),
+        "graph": {"k": 8, "chunk": 1024, "node_chunk": 1024},
+        "dimred": {"method": "pca", "d_out": 8},
+        "search": {"index": "flat", "k": 10, "efs": [16, 64]},
+    })
+    out = run_pipeline(cfg)
+    rs = out["summary"]["results"]
+    assert rs[-1]["recall_at_10"] > 0.85
+    assert rs[0]["extra"]["index"] == "flat"
