@@ -218,6 +218,19 @@ def cmd_sweep(args):
         print(f"wrote {args.out}")
 
 
+def cmd_plot(args):
+    from gbnns_tpu.eval.plot import plot_results_files
+
+    paths = {}
+    for spec in args.results:
+        label, _, path = spec.rpartition("=")
+        if not label:
+            label = os.path.splitext(os.path.basename(path))[0]
+        paths[label] = path
+    plot_results_files(paths, args.out, recall_key=args.recall_key)
+    print(f"wrote {args.out}")
+
+
 def cmd_serve(args):
     from gbnns_tpu.build.knn_graph import load_graph
     from gbnns_tpu.io.vecs import read_fvecs
@@ -336,6 +349,13 @@ def main(argv=None):
     sp.add_argument("--efs", default="16,32,64,128,256")
     sp.add_argument("--out", help="results JSON path")
     sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser("plot", help="recall-vs-QPS curves from sweep JSONs")
+    sp.add_argument("results", nargs="+",
+                    help="result files, optionally label=path")
+    sp.add_argument("--recall-key", default="recall_at_10", dest="recall_key")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_plot)
 
     sp = sub.add_parser("serve", help="HTTP search service over staged artifacts")
     add_data_args(sp, query=False)

@@ -97,14 +97,14 @@ def pack_neighbors(graph, base, dtype=None):
 @functools.partial(
     jax.jit,
     static_argnames=("ef", "max_hops", "metric", "visited_mode", "precision",
-                     "expand"),
+                     "expand", "intra_dedup"),
 )
 def beam_search(queries, base, graph, entry_ids, *, ef: int,
                 max_hops: int = 256, metric: str = "l2",
                 visited_mode: str = "beam",
                 base_sqnorms: jax.Array | None = None,
                 precision: str = "highest",
-                expand: int = 4,
+                expand: int = 4, intra_dedup: bool = True,
                 packed_vecs: jax.Array | None = None,
                 packed_sqnorms: jax.Array | None = None) -> SearchResult:
     """Lockstep beam search of ``queries (B,d)`` over ``graph (n,K)`` with
@@ -113,6 +113,11 @@ def beam_search(queries, base, graph, entry_ids, *, ef: int,
 
     Greedy search is the ``ef=1``-pool limit; the reference's recall knob is
     this same ``ef`` (SURVEY §4.3 "ef sweep").
+
+    ``intra_dedup``: deduplicate candidates across the M expanded
+    adjacency rows (O((M K)^2) compare, ~1/3 of hop cost at M=4, B=8192).
+    Disabling lets duplicate pool entries waste slots for a small recall
+    cost — a throughput knob for large sweeps.
 
     ``expand``: frontier nodes expanded per lockstep hop. The reference's
     scalar loop pops one candidate at a time; on TPU each hop is a fixed
@@ -211,7 +216,7 @@ def beam_search(queries, base, graph, entry_ids, *, ef: int,
                               precision=precision)                  # (B,MK)
 
         dup = jnp.any(nbrs[:, :, None] == beam_ids[:, None, :], axis=-1)
-        if M > 1:
+        if M > 1 and intra_dedup:
             # intra-candidate dedup: the M adjacency rows can share nodes;
             # keep only the first occurrence in the flattened candidate list
             earlier = (nbrs[:, :, None] == nbrs[:, None, :]) \
