@@ -17,7 +17,7 @@ import time
 import numpy as np
 import jax.numpy as jnp
 
-from gbnns_tpu.kernels.topk import knn_chunked
+from gbnns_tpu.kernels.topk import knn_fused
 
 
 def build_knn_graph(base, K: int, *, metric: str = "l2",
@@ -51,32 +51,44 @@ def build_knn_graph(base, K: int, *, metric: str = "l2",
         n_pad = -(-n // xt) * xt
         xb_pad = jnp.pad(xb, ((0, n_pad - n), (0, 0)))
     t0 = time.perf_counter()
-    # Accumulate per-chunk results ON DEVICE and transfer once at the end:
-    # every device→host transfer on the axon relay can stall O(10s) under
-    # load, so a transfer per node chunk dominated build time (402s vs ~5s
-    # of compute measured at n=100k).
-    parts = []
-    for off in range(0, n, node_chunk):
-        hi = min(off + node_chunk, n)
-        if backend == "pallas":
+    if backend == "pallas":
+        # Pallas path keeps the host loop (few large calls).
+        parts = []
+        for off in range(0, n, node_chunk):
+            hi = min(off + node_chunk, n)
             _, ids = knn_pallas(xb[off:hi], xb_pad, K + 1, metric=metric,
                                 xt=xt, n_valid=n)
-        else:
-            _, ids = knn_chunked(xb[off:hi], xb, K + 1, metric=metric,
-                                 chunk=chunk, exact=exact,
-                                 recall_target=recall_target,
+            parts.append(ids)
+            if len(parts) % 8 == 0:
+                ids.block_until_ready()
+            if verbose:
+                print(f"  knn-graph {hi}/{n} ({hi / n:.0%}) "
+                      f"{time.perf_counter() - t0:.1f}s", flush=True)
+        ids_all = np.asarray(jnp.concatenate(parts, axis=0))
+    else:
+        # The O(n²) sweep is issued as a FEW medium device executions, each
+        # a fused scan over node chunks (kernels.topk.knn_fused), sized so
+        # one execution stays ~<=30s: this relay wedges when >~100
+        # multi-second executions queue in a process AND its TPU worker
+        # crashes on single executions beyond ~60-90s, so neither a
+        # per-chunk host loop nor one giant program survives at 1M scale.
+        # Empirical exact-sweep rate on v5e ≈ 6e9 pair-distances/s.
+        pairs_per_sec, exec_budget_s = 6e9, 25.0
+        mega = max(node_chunk,
+                   int(pairs_per_sec * exec_budget_s / max(n, 1))
+                   // node_chunk * node_chunk)
+        parts = []
+        for off in range(0, n, mega):
+            hi = min(off + mega, n)
+            _, ids_j = knn_fused(xb[off:hi], xb, K + 1, metric=metric,
+                                 chunk=chunk, q_chunk=node_chunk,
+                                 exact=exact, recall_target=recall_target,
                                  precision=precision)
-        parts.append(ids)
-        # Bound the async dispatch queue: the device relay's client chokes
-        # (host CPU spin, no progress) when >~100 multi-second programs
-        # queue up; syncing every few chunks keeps the queue shallow while
-        # still overlapping dispatch with execution.
-        if len(parts) % 8 == 0:
-            ids.block_until_ready()
-        if verbose:
-            print(f"  knn-graph {hi}/{n} ({hi / n:.0%}) "
-                  f"{time.perf_counter() - t0:.1f}s", flush=True)
-    ids_all = np.asarray(jnp.concatenate(parts, axis=0))
+            parts.append(np.asarray(ids_j))
+            if verbose:
+                print(f"  knn-graph {hi}/{n} ({hi / n:.0%}) "
+                      f"{time.perf_counter() - t0:.1f}s", flush=True)
+        ids_all = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     graph = _drop_self(ids_all, 0)
     if connect:
         graph = ensure_connected(base, graph, metric=metric, verbose=verbose)

@@ -88,6 +88,44 @@ def knn_chunked(q: jax.Array, x: jax.Array, k: int, *, metric: str = "l2",
     return -best_nd, best_i
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "chunk", "q_chunk", "exact",
+                     "recall_target", "precision"),
+)
+def knn_fused(q: jax.Array, x: jax.Array, k: int, *, metric: str = "l2",
+              chunk: int = 65536, q_chunk: int = 8192,
+              exact: bool = True, recall_target: float = 0.99,
+              precision: str | None = None) -> tuple[jax.Array, jax.Array]:
+    """kNN of a (possibly large) query block against ``x`` as ONE device
+    program: an outer ``lax.scan`` over query chunks wrapping the inner
+    corpus sweep. One compile + one execution + one transfer per call.
+
+    This environment's device relay is fragile in two specific ways
+    (SURVEY §8.1): it wedges when >~100 multi-second executions queue up in
+    one process, and the TPU worker crashes outright on single executions
+    longer than ~60-90 s. Large sweeps must therefore be issued as a FEW
+    MEDIUM executions — this function is the building block; callers split
+    the query axis so each call stays within the execution-time budget
+    (see build_knn_graph).
+    """
+    if precision is None and exact:
+        precision = "highest"
+    nq, d = q.shape
+    nq_pad = _round_up(nq, q_chunk)
+    qp = jnp.pad(q, ((0, nq_pad - nq), (0, 0)))
+    q_chunks = qp.reshape(nq_pad // q_chunk, q_chunk, d)
+
+    def one_chunk(_, qc):
+        dd, ii = knn_chunked(qc, x, k, metric=metric, chunk=chunk,
+                             exact=exact, recall_target=recall_target,
+                             precision=precision)
+        return None, (dd, ii)
+
+    _, (dists, ids) = jax.lax.scan(one_chunk, None, q_chunks)
+    return (dists.reshape(nq_pad, k)[:nq], ids.reshape(nq_pad, k)[:nq])
+
+
 def knn(q, x, k: int, *, metric: str = "l2", chunk: int = 65536,
         q_chunk: int | None = None, exact: bool = True,
         recall_target: float = 0.99, precision: str | None = None):

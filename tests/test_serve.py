@@ -85,3 +85,18 @@ def test_unknown_route_404(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(url + "/nope", timeout=30)
     assert exc.value.code == 404
+
+
+def test_graph_engine_service(fixture_data, fixture_gt):
+    from gbnns_tpu.build.knn_graph import build_knn_graph
+
+    base, query = fixture_data
+    g = build_knn_graph(base, 8, chunk=1024, node_chunk=1024)
+    svc = SearchService(base, graph=g, engine="graph", ef=32, max_wait_ms=1.0)
+    try:
+        ids, dists = svc.submit(query[:8], None, 5)
+        assert ids.shape == (8, 5)
+        hits = (ids[:, 0] == fixture_gt[:8, 0]).mean()
+        assert hits >= 0.7, hits
+    finally:
+        svc.stop()
