@@ -1,7 +1,8 @@
 from gbnns_tpu.build.knn_graph import (
-    build_knn_graph, connected_components, ensure_connected,
-    forward_reachable, load_graph, save_graph,
+    add_reverse_edges, build_knn_graph, connected_components,
+    ensure_connected, forward_reachable, load_graph, save_graph,
 )
 
-__all__ = ["build_knn_graph", "connected_components", "ensure_connected",
-           "forward_reachable", "save_graph", "load_graph"]
+__all__ = ["add_reverse_edges", "build_knn_graph", "connected_components",
+           "ensure_connected", "forward_reachable", "save_graph",
+           "load_graph"]

@@ -25,6 +25,7 @@ def build_knn_graph(base, K: int, *, metric: str = "l2",
                     exact: bool = True, recall_target: float = 0.99,
                     dtype=None, precision: str | None = None,
                     connect: bool = True, backend: str = "xla",
+                    reverse_frac: float = 0.5,
                     verbose: bool = False) -> np.ndarray:
     """Build the exact (or near-exact) kNN graph: (n, K) int32 neighbor ids.
 
@@ -90,6 +91,8 @@ def build_knn_graph(base, K: int, *, metric: str = "l2",
                       f"{time.perf_counter() - t0:.1f}s", flush=True)
         ids_all = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     graph = _drop_self(ids_all, 0)
+    if reverse_frac > 0:
+        graph = add_reverse_edges(graph, frac=reverse_frac)
     if connect:
         graph = ensure_connected(base, graph, metric=metric, verbose=verbose)
     return graph
@@ -101,6 +104,32 @@ def _round_up_rows(n: int) -> int:
         if n >= cand:
             return cand
     return 128
+
+
+def add_reverse_edges(graph: np.ndarray, frac: float = 0.5) -> np.ndarray:
+    """Degree-budgeted symmetrization: keep the nearest (1-frac)·K own kNN
+    edges and fill the rest of each row with reverse (in-) edges, falling
+    back to the displaced kNN edges where a node has too few in-neighbors.
+
+    Why: a pure kNN digraph descends into cluster cores and cannot climb
+    back out — measured on the 1M synthetic corpus, 93% of nodes were not
+    directed-reachable from 32 spread entry points, which both caps recall
+    and makes reachability repair take many rounds. Mixing in reverse edges
+    (the NSG/Vamana-style degree-bounded symmetrization) restores two-way
+    navigability at unchanged index memory (degree stays K).
+    """
+    n, K = graph.shape
+    keep = K - int(round(K * frac))
+    if keep >= K:
+        return np.array(graph, copy=True)
+    indptr, rsrc = _reverse_csr(graph)
+    counts = (indptr[1:] - indptr[:-1])
+    new = np.array(graph, copy=True)
+    for j in range(K - keep):
+        has = counts > j
+        new[has, keep + j] = rsrc[indptr[:-1][has] + j]
+        # nodes with < j in-edges keep their original kNN edge in that slot
+    return new
 
 
 def _drop_self(ids: np.ndarray, row_offset: int) -> np.ndarray:

@@ -26,9 +26,10 @@ def test_graph_shape_no_self(fixture_data, graph16):
 
 def test_graph_matches_numpy_oracle(fixture_data):
     base, _ = fixture_data
-    # connect=False: bridge edges intentionally deviate from true kNN
+    # connect=False, reverse_frac=0: bridge/reverse edges intentionally
+    # deviate from true kNN
     graph16 = build_knn_graph(base, 16, chunk=1024, node_chunk=1024,
-                              connect=False)
+                              connect=False, reverse_frac=0.0)
     d2 = ((base[:50, None, :] - base[None, :, :]) ** 2).sum(-1)
     ref = np.argsort(d2, axis=1, kind="stable")[:, 1:17]
     # The MXU kernel uses the ‖x‖²−2x·y+‖y‖² expansion in f32, so near-ties

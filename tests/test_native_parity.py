@@ -18,14 +18,16 @@ pytestmark = pytest.mark.skipif(not native.available(),
 @pytest.fixture(scope="module")
 def graph_np(fixture_data):
     base, _ = fixture_data
-    return build_knn_graph(base, 16, chunk=1024, node_chunk=1024)
+    # reverse_frac=0: the C++ oracle models the reference's pure-kNN graph
+    return build_knn_graph(base, 16, chunk=1024, node_chunk=1024,
+                           reverse_frac=0.0)
 
 
 def test_native_knn_build_matches_tpu(fixture_data):
     base, _ = fixture_data
     g_native = native.knn_build(base[:256], 8)
     g_tpu = build_knn_graph(base[:256], 8, chunk=1024, node_chunk=256,
-                            connect=False)
+                            connect=False, reverse_frac=0.0)
     # id-level agreement up to fp ties: compare via true distances
     d2 = ((base[:256, None, :] - base[None, :256, :]) ** 2).sum(-1)
     dn = np.take_along_axis(d2, g_native, axis=1)
