@@ -257,9 +257,22 @@ def ensure_connected(base, graph: np.ndarray, *, metric: str = "l2",
     if entry_ids is None:
         entry_ids = np.asarray(default_entry_ids(n))
 
-    # A node's last slot is sacrificed at most once, ever: re-donating it in
-    # a later round would sever the earlier bridge and oscillate.
-    used: set[int] = set()
+    # Slot accounting: each node may donate up to 2 of its worst adjacency
+    # slots to bridges (slot K-1, then K-2). A node that already donated
+    # must still be allowed to RECEIVE a bridge later — treating "used"
+    # as binary deadlocked repair with a few permanently-unreached nodes.
+    donated: dict[int, int] = {}
+    MAX_DONATE = 2
+
+    def can_donate(node: int) -> bool:
+        return donated.get(node, 0) < MAX_DONATE
+
+    def bridge(src: int, rep: int) -> None:
+        graph[src, K - 1 - donated.get(src, 0)] = rep
+        donated[src] = donated.get(src, 0) + 1
+        graph[rep, K - 1 - donated.get(rep, 0)] = src
+        donated[rep] = donated.get(rep, 0) + 1
+
     for _ in range(max_rounds):
         reached = forward_reachable(graph, entry_ids)
         if reached.all():
@@ -293,21 +306,19 @@ def ensure_connected(base, graph: np.ndarray, *, metric: str = "l2",
         # minutes of host sgemm per round.
         remaining = []
         for rep in reps:
-            if int(rep) in used:
+            if not can_donate(int(rep)):
+                remaining.append(rep)
                 continue
             src = -1
             for cand in graph[rep]:
                 ci = int(cand)
-                if ci >= 0 and reached[ci] and ci not in used:
+                if ci >= 0 and ci != rep and reached[ci] and can_donate(ci):
                     src = ci
                     break
             if src < 0:
                 remaining.append(rep)
                 continue
-            used.add(src)
-            used.add(int(rep))
-            graph[src, K - 1] = rep
-            graph[rep, K - 1] = src
+            bridge(src, int(rep))
         reps = np.asarray(remaining, dtype=np.int64)
         # Exact scoring for the remainder: host BLAS, deliberately not the
         # device kernel — these are thin (C, n) distance rows, and each
@@ -316,7 +327,12 @@ def ensure_connected(base, graph: np.ndarray, *, metric: str = "l2",
         base_v = np.asarray(base, dtype=np.float32)
         base_sq = np.sum(base_v * base_v, axis=-1)
         invalid_cols = ~reached
-        used_arr = np.fromiter(used, dtype=np.int64) if used else None
+
+        def saturated_arr():
+            sat = [k_ for k_, v in donated.items() if v >= MAX_DONATE]
+            return np.asarray(sat, dtype=np.int64) if sat else None
+
+        used_arr = saturated_arr()
         for off in range(0, len(reps), 2048):
             rs = reps[off:off + 2048]
             rv = base_v[rs]
@@ -332,15 +348,11 @@ def ensure_connected(base, graph: np.ndarray, *, metric: str = "l2",
             # Collisions (two reps picking the same source this round) would
             # overwrite the same slot; keep the first, defer the rest.
             for i, (rep, src) in enumerate(zip(rs, sources)):
-                if int(src) in used or int(rep) in used \
-                        or not np.isfinite(d[i, src]):
+                if not (can_donate(int(src)) and can_donate(int(rep))
+                        and np.isfinite(d[i, src]) and int(src) != int(rep)):
                     continue
-                used.add(int(src))
-                used.add(int(rep))  # rep's last slot holds the reverse bridge
-                graph[src, K - 1] = rep
-                graph[rep, K - 1] = src
-            if used:
-                used_arr = np.fromiter(used, dtype=np.int64)
+                bridge(int(src), int(rep))
+            used_arr = saturated_arr()
     return graph
 
 
