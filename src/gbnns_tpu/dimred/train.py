@@ -71,6 +71,11 @@ def train_projection(base, neighbors, cfg: TrainConfig,
     Returns {"params", "model", "cfg", "losses"}.
     """
     base = jnp.asarray(np.asarray(base, dtype=np.float32))
+    if neighbors.shape[1] < cfg.k_pos:
+        # JAX gathers clamp out-of-range indices, which would silently bias
+        # positive sampling toward the last column — fail loudly instead.
+        raise ValueError(f"neighbors has {neighbors.shape[1]} columns but "
+                         f"k_pos={cfg.k_pos}; pass k_pos<= that or widen GT")
     neighbors = jnp.asarray(np.asarray(neighbors[:, :cfg.k_pos], dtype=np.int32))
     n, d = base.shape
     model = make_model(cfg.model, cfg.d_out, hidden=cfg.hidden,

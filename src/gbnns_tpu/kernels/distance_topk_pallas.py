@@ -115,11 +115,12 @@ def knn_pallas(q: jax.Array, x: jax.Array, k: int, *, metric: str = "l2",
     n = x.shape[0] if n_valid is None else n_valid
     if k > n:
         raise ValueError(f"k={k} > n={n}")
-    # pad shapes to tile multiples
+    # pad shapes to tile multiples; pad amount derives from the PHYSICAL
+    # row count so pre-padded callers (n_valid set) don't get re-padded
     nq_p = -(-nq // qt) * qt
-    n_p = -(-n // xt) * xt
+    n_p = -(-x.shape[0] // xt) * xt
     qp = jnp.pad(q, ((0, nq_p - nq), (0, 0)))
-    xp = jnp.pad(x, ((0, n_p - n), (0, 0)))
+    xp = jnp.pad(x, ((0, n_p - x.shape[0]), (0, 0)))
     xsq = jnp.sum(xp.astype(jnp.float32) * xp, axis=1)[None, :]  # (1, n_p)
 
     grid = (nq_p // qt, n_p // xt)

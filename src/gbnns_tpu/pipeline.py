@@ -100,8 +100,11 @@ def run_pipeline(cfg: ExperimentConfig) -> dict[str, Any]:
     gt = ds.gt if ds.gt is not None else compute_gt(cfg, base, query)
 
     base_lo, query_lo, artifacts = fit_projection(cfg, base, query, gt)
-    needs_graph = not (cfg.search.index == "flat"
-                       and not (cfg.n_devices and cfg.n_devices > 1))
+    # The sharded path builds its own per-shard subgraphs and the flat index
+    # needs none, so the full-corpus graph is only built for the
+    # single-chip graph engine.
+    sharded = bool(cfg.n_devices and cfg.n_devices > 1)
+    needs_graph = cfg.search.index == "graph" and not sharded
     graph, build_time = (build_graph(cfg, base) if needs_graph
                          else (None, 0.0))
 
@@ -198,7 +201,9 @@ def _sharded_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
             return sharded_search(idx, query_lo, cfg.search.k, ef=ef,
                                   num_entries=cfg.search.num_entries,
                                   max_hops=cfg.search.max_hops,
-                                  metric=cfg.metric)
+                                  metric=cfg.metric,
+                                  engine=cfg.search.index,
+                                  queries_full=query)
         qps, sec, (ids, dists) = time_search(run, query_lo.shape[0],
                                              warmup=1, iters=3)
         ids = np.asarray(ids)

@@ -79,13 +79,20 @@ def build_sharded_index(base_full, K: int, mesh: Mesh, *,
     n_shard = -(-n // Pn)
     pad = Pn * n_shard - n
     if pad:
-        # Sentinel rows placed far away: 1e6 * (max extent) offset keeps them
-        # out of every true neighbor list while keeping distances finite.
-        far = np.abs(base_full).max() * 1e3 + 1e3
-        base_full = np.concatenate(
-            [base_full, np.full((pad, d), far, np.float32)], axis=0)
-        base_lo = np.concatenate(
-            [base_lo, np.full((pad, base_lo.shape[1]), far, np.float32)], axis=0)
+        # Sentinel padding rows. For L2 a far-away constant keeps them out of
+        # every neighbor list; for ip/angular a far row would have a huge
+        # inner product, so zeros (score 0) are used instead. Either way the
+        # search path additionally masks any global id >= n before the merge,
+        # so sentinels can never be returned under any metric.
+        if metric in ("ip", "angular"):
+            fill_full = np.zeros((pad, d), np.float32)
+            fill_lo = np.zeros((pad, base_lo.shape[1]), np.float32)
+        else:
+            far = np.abs(base_full).max() * 1e3 + 1e3
+            fill_full = np.full((pad, d), far, np.float32)
+            fill_lo = np.full((pad, base_lo.shape[1]), far, np.float32)
+        base_full = np.concatenate([base_full, fill_full], axis=0)
+        base_lo = np.concatenate([base_lo, fill_lo], axis=0)
 
     kw = dict(build_kwargs or {})
     graphs = []
@@ -106,40 +113,56 @@ def build_sharded_index(base_full, K: int, mesh: Mesh, *,
 def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
                    num_entries: int = 32, max_hops: int = 256,
                    metric: str = "l2", engine: str = "graph",
+                   queries_full=None,
                    rerank_metric: str | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Search all shards in parallel and merge: returns (ids, dists) with
     *global* ids, (B, k) each. One jit'd shard_map program: per-shard
     candidate generation (``engine="graph"``: lockstep beam walk over the
     local subgraph; ``engine="flat"``: MXU scan of the local shard) →
     per-shard full-dim re-rank → all_gather(B*k scalars) over ICI →
-    replicated merge."""
+    replicated merge.
+
+    ``queries`` are in the search (reduced) space; pass ``queries_full``
+    whenever the index was built with a reduced ``base_lo`` so the re-rank
+    gets the original-dimension vectors.
+    """
     if engine not in ("graph", "flat"):
         raise ValueError(f"unknown engine {engine!r}")
     axis = index.axis
     rr_metric = rerank_metric or metric
     cache_key = (k, ef, num_entries, max_hops, metric, rr_metric, engine)
     qj = jnp.asarray(np.asarray(queries, dtype=np.float32))
+    qfj = (qj if queries_full is None
+           else jnp.asarray(np.asarray(queries_full, dtype=np.float32)))
+    if qfj.shape[1] != index.base_full.shape[-1]:
+        raise ValueError(
+            f"re-rank needs full-dim queries: got {qfj.shape[1]}, index full "
+            f"dim is {index.base_full.shape[-1]} (pass queries_full=...)")
     if cache_key in index._fns:
-        ids, dists = index._fns[cache_key](qj, index.base_lo,
+        ids, dists = index._fns[cache_key](qj, qfj, index.base_lo,
                                            index.base_full, index.graph)
         return ids, dists
     entry = default_entry_ids(index.n_shard, min(num_entries, ef))
 
-    def per_shard(q, base_lo, base_full, graph):
+    def per_shard(q, q_full, base_lo, base_full, graph):
         base_lo, base_full, graph = base_lo[0], base_full[0], graph[0]
         if engine == "flat":
             from gbnns_tpu.kernels.topk import knn_chunked
             _, cand = knn_chunked(q, base_lo, ef, metric=metric,
                                   chunk=65536, exact=False,
                                   precision="default")
-            ids, dists = rerank(q, base_full, cand, k, metric=rr_metric)
+            ids, dists = rerank(q_full, base_full, cand, k, metric=rr_metric)
         else:
             res = beam_search(q, base_lo, graph, entry, ef=ef, metric=metric,
                               max_hops=max_hops)
-            ids, dists = rerank(q, base_full, res.ids, k, metric=rr_metric)
+            ids, dists = rerank(q_full, base_full, res.ids, k,
+                                metric=rr_metric)
         shard_id = jax.lax.axis_index(axis)
         gids = jnp.where(ids >= 0, ids + shard_id * index.n_shard, -1)
-        dists = jnp.where(ids >= 0, dists, jnp.inf)
+        # mask sentinel padding rows (global id >= n) under every metric
+        valid = (ids >= 0) & (gids < index.n)
+        gids = jnp.where(valid, gids, -1)
+        dists = jnp.where(valid, dists, jnp.inf)
         all_ids = jax.lax.all_gather(gids, axis)      # (Pn, B, k)
         all_d = jax.lax.all_gather(dists, axis)
         Pn = all_ids.shape[0]
@@ -156,10 +179,10 @@ def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
     # is correct; disabling the static check keeps the collective lowering.
     fn = jax.jit(jax.shard_map(
         per_shard, mesh=index.mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(axis), P(axis), P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
     ))
     index._fns[cache_key] = fn
-    ids, dists = fn(qj, index.base_lo, index.base_full, index.graph)
+    ids, dists = fn(qj, qfj, index.base_lo, index.base_full, index.graph)
     return ids, dists

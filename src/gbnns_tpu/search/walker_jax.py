@@ -166,7 +166,11 @@ def beam_search(queries, base, graph, entry_ids, *, ef: int,
     if visited_mode == "exact":
         visited = jnp.zeros((B, n), dtype=jnp.bool_)
         rows = jnp.arange(B, dtype=jnp.int32)
-        visited = visited.at[rows[:, None], jnp.maximum(beam_ids, 0)].set(True)
+        # max() not set(): -1 pool-padding slots clamp to index 0 and a
+        # plain set(True) would permanently mark node 0 visited for every
+        # query, silently excluding it from all results.
+        visited = visited.at[rows[:, None], jnp.maximum(beam_ids, 0)].max(
+            beam_ids >= 0)
     else:
         visited = jnp.zeros((B, 1), dtype=jnp.bool_)  # unused placeholder
 

@@ -91,15 +91,26 @@ class SearchService:
 
     def _drain(self) -> list[_Pending]:
         batch = [self._q.get()]
+        has_lo = batch[0].queries_lo is not None
         deadline = time.perf_counter() + self.max_wait_ms / 1e3
         total = batch[0].queries.shape[0]
+        deferred = []
         while total < self.max_batch and time.perf_counter() < deadline:
             try:
                 p = self._q.get(timeout=max(0.0, deadline - time.perf_counter()))
-                batch.append(p)
-                total += p.queries.shape[0]
             except queue.Empty:
                 break
+            # only coalesce requests of the same shape-kind: mixing
+            # with-queries_lo and without would either crash the
+            # concatenate or silently search the wrong space
+            if (p.queries_lo is not None) != has_lo \
+                    or p.queries.shape[1] != batch[0].queries.shape[1]:
+                deferred.append(p)
+                continue
+            batch.append(p)
+            total += p.queries.shape[0]
+        for p in deferred:  # next dispatcher cycle picks these up
+            self._q.put(p)
         return batch
 
     def _run(self):

@@ -76,3 +76,22 @@ def test_sharded_flat_engine(fixture_data, fixture_gt, sharded_index):
     r10 = recall_at_k(ids, fixture_gt, 10)
     assert r10 >= 0.99, r10  # per-shard scan is near-exact
     assert (ids >= 0).all() and (ids < base.shape[0]).all()
+
+
+def test_sharded_with_projection(fixture_data, fixture_gt, mesh8):
+    """Regression: reduced-dim search space + full-dim rerank in the sharded
+    path (was a shape crash — rerank got reduced-dim queries)."""
+    from gbnns_tpu.dimred.pca import pca_fit, pca_transform
+
+    base, query = fixture_data
+    m = pca_fit(base, 8)
+    blo, qlo = pca_transform(m, base), pca_transform(m, query)
+    idx = build_sharded_index(base, 8, mesh8, base_lo=blo,
+                              build_kwargs=dict(chunk=1024, node_chunk=1024))
+    ids, dists = sharded_search(idx, qlo, 10, ef=64, queries_full=query)
+    from gbnns_tpu.eval.recall import recall_at_k
+    r10 = recall_at_k(np.asarray(ids), fixture_gt, 10)
+    assert r10 >= 0.8, r10
+    # missing queries_full must fail loudly, not silently mis-rank
+    with pytest.raises(ValueError):
+        sharded_search(idx, qlo, 10, ef=64)
