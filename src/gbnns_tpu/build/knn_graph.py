@@ -73,8 +73,11 @@ def build_knn_graph(base, K: int, *, metric: str = "l2",
         # multi-second executions queue in a process AND its TPU worker
         # crashes on single executions beyond ~60-90s, so neither a
         # per-chunk host loop nor one giant program survives at 1M scale.
-        # Empirical exact-sweep rate on v5e ≈ 6e9 pair-distances/s.
-        pairs_per_sec, exec_budget_s = 6e9, 25.0
+        # Empirical exact-sweep rate on v5e ≈ 6e9 pair-distances/s at d=128
+        # (≈ 7.7e11 element-pairs/s) — scale the budget by dimension so
+        # high-d corpora (GIST 960d) don't produce one over-long execution.
+        elem_pairs_per_sec, exec_budget_s = 7.7e11, 25.0
+        pairs_per_sec = elem_pairs_per_sec / max(d, 1)
         mega = max(node_chunk,
                    int(pairs_per_sec * exec_budget_s / max(n, 1))
                    // node_chunk * node_chunk)

@@ -92,7 +92,7 @@ def train_projection(base, neighbors, cfg: TrainConfig,
     tx = optax.adam(cfg.lr)
     opt_state = tx.init(params)
 
-    def loss_fn(params, key):
+    def loss_fn(params, key, base, neighbors):
         ka, kp, kn = jax.random.split(key, 3)
         a_idx = jax.random.randint(ka, (cfg.batch_size,), 0, n)
         p_col = jax.random.randint(kp, (cfg.batch_size,), 0, cfg.k_pos)
@@ -122,11 +122,15 @@ def train_projection(base, neighbors, cfg: TrainConfig,
             loss = loss + jnp.maximum(0.0, cfg.margin + d_ap - d_hard)
         return jnp.mean(loss)
 
+    # base/neighbors are jit ARGUMENTS, not closures: a closed-over corpus
+    # becomes an embedded program constant, and at GIST scale (100k x 960 =
+    # 384 MB) that blew the remote-compile request size limit (HTTP 413).
     @jax.jit
-    def run(params, opt_state, key):
+    def run(params, opt_state, key, base, neighbors):
         def step(carry, key):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(params, key)
+            loss, grads = jax.value_and_grad(loss_fn)(params, key, base,
+                                                      neighbors)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -136,7 +140,8 @@ def train_projection(base, neighbors, cfg: TrainConfig,
         return params, opt_state, losses
 
     params, opt_state, losses = run(params, opt_state,
-                                    jax.random.PRNGKey(cfg.seed + 1))
+                                    jax.random.PRNGKey(cfg.seed + 1),
+                                    base, neighbors)
     losses = np.asarray(losses)
     if log_every:
         for i in range(0, cfg.steps, log_every):
