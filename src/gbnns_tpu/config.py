@@ -29,7 +29,7 @@ class DimRedConfig:
     method: str = "none"           # "none" | "pca" | "linear" | "mlp"
     d_out: int = 32
     hidden: int = 512              # mlp only
-    margin: float = 1.0
+    margin: float | None = None
     lr: float = 1e-3
     batch_size: int = 1024
     steps: int = 2000

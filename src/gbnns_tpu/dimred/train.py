@@ -37,7 +37,11 @@ class TrainConfig:
     model: str = "linear"          # "linear" | "mlp"
     hidden: int = 512              # mlp only
     metric: str = "l2"             # "l2" | "ip" | "angular"
-    margin: float = 1.0
+    # Hinge margin in the metric's own units; None resolves per metric:
+    # 1.0 for (squared) l2, 0.05 for ip/angular where distances live in
+    # [-1, 1] (a 1.0 margin there demands impossible separations and was
+    # measured to halve downstream recall on angular corpora).
+    margin: float | None = None
     lr: float = 1e-3
     batch_size: int = 1024
     steps: int = 2000
@@ -78,6 +82,8 @@ def train_projection(base, neighbors, cfg: TrainConfig,
                          f"k_pos={cfg.k_pos}; pass k_pos<= that or widen GT")
     neighbors = jnp.asarray(np.asarray(neighbors[:, :cfg.k_pos], dtype=np.int32))
     n, d = base.shape
+    margin = cfg.margin if cfg.margin is not None else (
+        1.0 if cfg.metric == "l2" else 0.05)
     model = make_model(cfg.model, cfg.d_out, hidden=cfg.hidden,
                        normalize=cfg.normalize)
     params = init_model(model, d, seed=cfg.seed)
@@ -105,7 +111,7 @@ def train_projection(base, neighbors, cfg: TrainConfig,
 
         d_ap = _pair_dist(fa, fp, cfg.metric)
         d_an = _pair_dist(fa, fn_, cfg.metric)
-        loss = jnp.maximum(0.0, cfg.margin + d_ap - d_an)
+        loss = jnp.maximum(0.0, margin + d_ap - d_an)
 
         if cfg.hard_negatives:
             # In-batch hard negatives: for each anchor, the most-violating
@@ -119,7 +125,7 @@ def train_projection(base, neighbors, cfg: TrainConfig,
             same = (n_idx[None, :] == a_idx[:, None]) | (n_idx[None, :] == p_idx[:, None])
             dmat = jnp.where(same, jnp.inf, dmat)
             d_hard = jnp.min(dmat, axis=1)
-            loss = loss + jnp.maximum(0.0, cfg.margin + d_ap - d_hard)
+            loss = loss + jnp.maximum(0.0, margin + d_ap - d_hard)
         return jnp.mean(loss)
 
     # base/neighbors are jit ARGUMENTS, not closures: a closed-over corpus

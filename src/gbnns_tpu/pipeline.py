@@ -108,6 +108,12 @@ def run_pipeline(cfg: ExperimentConfig) -> dict[str, Any]:
     graph, build_time = (build_graph(cfg, base) if needs_graph
                          else (None, 0.0))
 
+    efs = [e for e in cfg.search.efs if e >= cfg.search.k]
+    skipped = [e for e in cfg.search.efs if e < cfg.search.k]
+    if skipped:
+        print(f"  skipping ef<{cfg.search.k} (pool must cover top-k): "
+              f"{skipped}", flush=True)
+    cfg.search.efs = tuple(efs)
     if cfg.n_devices and cfg.n_devices > 1:
         results = _sharded_sweep(cfg, base, base_lo, query, query_lo, gt)
     elif cfg.search.index == "flat":
