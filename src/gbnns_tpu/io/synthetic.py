@@ -78,6 +78,13 @@ def make_synthetic(spec: SyntheticSpec) -> dict[str, np.ndarray]:
     centers_lo = rng.standard_normal((spec.n_clusters, sd)).astype(np.float32) * 1.5
     centers = centers_lo @ basis
 
+    # Per-dim noise shrinks above 128 ambient dims so TOTAL noise variance
+    # stays bounded: real high-d descriptors (GIST 960d) have low intrinsic
+    # dimension and a noise floor that does not grow with ambient dims —
+    # without this, 840 noise dims swamp neighbor structure and no
+    # projection (nor exact low-d search) can recover it.
+    noise_std = spec.noise_scale * min(1.0, (128.0 / d) ** 0.5)
+
     def sample(n: int, seed_offset: int) -> np.ndarray:
         r = np.random.default_rng(spec.seed + seed_offset)
         assign = r.integers(0, spec.n_clusters, size=n)
@@ -85,7 +92,7 @@ def make_synthetic(spec: SyntheticSpec) -> dict[str, np.ndarray]:
         spread_lo = r.standard_normal((n, sd)).astype(np.float32)
         scales = (0.5 + r.random((spec.n_clusters, sd)).astype(np.float32))
         pts = centers[assign] + (spread_lo * scales[assign]) @ basis
-        pts += spec.noise_scale * r.standard_normal((n, d)).astype(np.float32)
+        pts += noise_std * r.standard_normal((n, d)).astype(np.float32)
         return pts.astype(np.float32)
 
     base = sample(spec.n_base, 1)
