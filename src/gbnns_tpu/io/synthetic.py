@@ -64,7 +64,13 @@ def make_synthetic(spec: SyntheticSpec) -> dict[str, np.ndarray]:
     """
     rng = np.random.default_rng(spec.seed)
     d = spec.dim
-    sd = spec.signal_dim or max(4, d // 8)
+    # Default intrinsic (signal) dimension: d/8 capped at 32. Real
+    # descriptor corpora have low intrinsic dimension regardless of ambient
+    # dims (GIST-960's is ~20-50); an uncapped d/8=120 signal space made
+    # cluster-overlap mass vanish by concentration of measure, so graph
+    # navigation had no cross-cluster paths (walker capped at R@10≈0.45
+    # while the flat scan, which needs no paths, reached 0.99).
+    sd = spec.signal_dim or max(4, min(32, d // 8))
     sd = min(sd, d)
 
     # Cluster centers live in a random sd-dim subspace, embedded in d dims.
