@@ -44,6 +44,8 @@ def main():
     threading.Thread(target=_warm, daemon=True).start()
 
     import jax
+    if os.environ.get("GBNNS_BENCH_CPU"):  # offline smoke-test mode
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from gbnns_tpu.build.knn_graph import build_knn_graph
