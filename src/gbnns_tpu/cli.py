@@ -135,14 +135,15 @@ def cmd_train(args):
 
 def _run_search(base_full, base_lo, query_full, query_lo, graph, gt, ef, k,
                 metric, num_entries, max_hops, visited_mode, iters=3,
-                expand=4, dtype="float32"):
+                expand=4, dtype="float32", batch_size=0, packed=False):
     import jax
     import jax.numpy as jnp
 
     from gbnns_tpu.eval.bench import BenchResult, time_search
     from gbnns_tpu.eval.recall import recall_at_k
     from gbnns_tpu.search.rerank import rerank
-    from gbnns_tpu.search.walker_jax import beam_search, default_entry_ids
+    from gbnns_tpu.search.walker_jax import (beam_search, default_entry_ids,
+                                             pack_neighbors)
 
     sdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     qlo = jnp.asarray(query_lo, dtype=sdt)
@@ -151,50 +152,43 @@ def _run_search(base_full, base_lo, query_full, query_lo, graph, gt, ef, k,
     bfull = jnp.asarray(base_full)
     gj = jnp.asarray(graph)
     entries = default_entry_ids(base_lo.shape[0], min(num_entries, ef))
+    pv = psq = None
+    if packed:
+        pv_np, psq_np = pack_neighbors(graph, base_lo, dtype=np.float32)
+        pv, psq = jnp.asarray(pv_np, dtype=sdt), jnp.asarray(psq_np)
+
+    nq = query_lo.shape[0]
+    n_dist_acc = []
+    hops_acc = []
+
+    def search_chunk(qlo_c, qfull_c):
+        res = beam_search(qlo_c, blo, gj, entries, ef=ef, metric=metric,
+                          max_hops=max_hops, visited_mode=visited_mode,
+                          expand=expand, packed_vecs=pv, packed_sqnorms=psq)
+        n_dist_acc.append(res.n_dist)
+        hops_acc.append(res.hops)
+        return rerank(qfull_c, bfull, res.ids, k, metric=metric)
 
     def run():
-        res = beam_search(qlo, blo, gj, entries, ef=ef, metric=metric,
-                          max_hops=max_hops, visited_mode=visited_mode,
-                          expand=expand)
-        ids, dists = rerank(qfull, bfull, res.ids, k, metric=metric)
-        return ids, dists, res.n_dist, res.hops
+        from gbnns_tpu.pipeline import microbatch
+        n_dist_acc.clear(), hops_acc.clear()
+        return microbatch(search_chunk, (qlo, qfull), batch_size)
 
-    qps, sec, (ids, dists, n_dist, hops) = time_search(run, query_lo.shape[0],
-                                                       warmup=1, iters=iters)
+    qps, sec, (ids, dists) = time_search(run, nq, warmup=1, iters=iters)
     ids = np.asarray(ids)
+    n_dist = np.concatenate([np.asarray(x) for x in n_dist_acc])
+    hops = int(max(int(np.asarray(h)) for h in hops_acc))
     r1 = recall_at_k(ids, gt, 1) if gt is not None else float("nan")
     r10 = (recall_at_k(ids, gt, min(10, k)) if gt is not None else float("nan"))
     return BenchResult(
         label=f"ef{ef}", ef=ef, qps=qps, latency_ms=sec * 1e3,
-        recall_at_1=r1, recall_at_10=r10, n_queries=query_lo.shape[0],
-        dist_comps_per_query=float(np.asarray(n_dist).mean()),
-        hops=int(hops)), ids
+        recall_at_1=r1, recall_at_10=r10, n_queries=nq,
+        dist_comps_per_query=float(n_dist.mean()),
+        hops=hops, extra={"recall_cutoff": min(10, k), "packed": packed}), ids
 
 
-def cmd_search(args):
+def _load_search_inputs(args):
     from gbnns_tpu.build.knn_graph import load_graph
-    from gbnns_tpu.io.vecs import read_fvecs, read_ivecs, write_ivecs
-
-    base, query = _load_base_query(args)
-    graph = np.asarray(load_graph(args.graph))
-    base_lo = (np.ascontiguousarray(read_fvecs(args.base_lo), dtype=np.float32)
-               if args.base_lo else base)
-    q_lo = (np.ascontiguousarray(read_fvecs(args.query_lo), dtype=np.float32)
-            if args.query_lo else query)
-    gt = np.asarray(read_ivecs(args.gt)) if args.gt else None
-    r, ids = _run_search(base, base_lo, query, q_lo, graph, gt, args.ef,
-                         args.k, args.metric, args.num_entries, args.max_hops,
-                         args.visited_mode, expand=args.expand,
-                         dtype=args.dtype)
-    print(json.dumps(r.to_json(), indent=2))
-    if args.out:
-        write_ivecs(args.out, ids)
-        print(f"wrote {args.out}")
-
-
-def cmd_sweep(args):
-    from gbnns_tpu.build.knn_graph import load_graph
-    from gbnns_tpu.eval.bench import sweep
     from gbnns_tpu.io.vecs import read_fvecs, read_ivecs
 
     base, query = _load_base_query(args)
@@ -204,13 +198,75 @@ def cmd_sweep(args):
     q_lo = (np.ascontiguousarray(read_fvecs(args.query_lo), dtype=np.float32)
             if args.query_lo else query)
     gt = np.asarray(read_ivecs(args.gt)) if args.gt else None
+    args.graph_k = graph.shape[1]  # reuse the loaded graph's degree for sharded rebuilds
+    return base, base_lo, query, q_lo, graph, gt
+
+
+def _run_sharded(base, base_lo, query, q_lo, gt, ef, args):
+    """Sharded-mesh run for `search`/`sweep --n-devices N` (SURVEY §4.5)."""
+    from gbnns_tpu.eval.bench import BenchResult, time_search
+    from gbnns_tpu.eval.recall import recall_at_k
+    from gbnns_tpu.search.sharded import (build_sharded_index, make_mesh,
+                                          sharded_search)
+
+    mesh = make_mesh(args.n_devices)
+    idx = getattr(args, "_sharded_idx", None)
+    if idx is None:
+        K = int(getattr(args, "graph_k", 0)) or 32
+        idx = build_sharded_index(base, K, mesh, base_lo=base_lo,
+                                  metric=args.metric)
+        args._sharded_idx = idx
+
+    def run():
+        return sharded_search(idx, q_lo, args.k, ef=ef,
+                              num_entries=args.num_entries,
+                              max_hops=args.max_hops, metric=args.metric,
+                              queries_full=query)
+
+    qps, sec, (ids, dists) = time_search(run, q_lo.shape[0], warmup=1, iters=3)
+    ids = np.asarray(ids)
+    r1 = recall_at_k(ids, gt, 1) if gt is not None else float("nan")
+    r10 = recall_at_k(ids, gt, min(10, args.k)) if gt is not None else float("nan")
+    return BenchResult(
+        label=f"sharded-ef{ef}", ef=ef, qps=qps, latency_ms=sec * 1e3,
+        recall_at_1=r1, recall_at_10=r10, n_queries=q_lo.shape[0],
+        dist_comps_per_query=float("nan"), hops=-1,
+        extra={"n_devices": args.n_devices}), ids
+
+
+def cmd_search(args):
+    from gbnns_tpu.io.vecs import write_ivecs
+
+    base, base_lo, query, q_lo, graph, gt = _load_search_inputs(args)
+    if args.n_devices and args.n_devices > 1:
+        r, ids = _run_sharded(base, base_lo, query, q_lo, gt, args.ef, args)
+    else:
+        r, ids = _run_search(base, base_lo, query, q_lo, graph, gt, args.ef,
+                             args.k, args.metric, args.num_entries,
+                             args.max_hops, args.visited_mode,
+                             expand=args.expand, dtype=args.dtype,
+                             batch_size=args.batch_size, packed=args.packed)
+    print(json.dumps(r.to_json(), indent=2))
+    if args.out:
+        write_ivecs(args.out, ids)
+        print(f"wrote {args.out}")
+
+
+def cmd_sweep(args):
+    from gbnns_tpu.eval.bench import sweep
+
+    base, base_lo, query, q_lo, graph, gt = _load_search_inputs(args)
     efs = [int(e) for e in args.efs.split(",")]
 
     def run_one(ef):
-        r, _ = _run_search(base, base_lo, query, q_lo, graph, gt, ef, args.k,
-                           args.metric, args.num_entries, args.max_hops,
-                           args.visited_mode, expand=args.expand,
-                           dtype=args.dtype)
+        if args.n_devices and args.n_devices > 1:
+            r, _ = _run_sharded(base, base_lo, query, q_lo, gt, ef, args)
+        else:
+            r, _ = _run_search(base, base_lo, query, q_lo, graph, gt, ef,
+                               args.k, args.metric, args.num_entries,
+                               args.max_hops, args.visited_mode,
+                               expand=args.expand, dtype=args.dtype,
+                               batch_size=args.batch_size, packed=args.packed)
         return r
 
     sweep(run_one, efs, out_path=args.out)
@@ -335,6 +391,14 @@ def main(argv=None):
         sp.add_argument("--visited-mode", default="beam",
                         choices=["beam", "exact"], dest="visited_mode")
         sp.add_argument("--expand", type=int, default=4)
+        sp.add_argument("--batch-size", type=int, default=0, dest="batch_size",
+                        help="query micro-batch (0 = whole set)")
+        sp.add_argument("--packed", action="store_true",
+                        help="inline (K,d) neighbor rows (pack_neighbors)")
+        sp.add_argument("--n-devices", type=int, default=None,
+                        dest="n_devices",
+                        help=">1: shard base+graph over an ICI mesh "
+                             "(SURVEY §4.5 'cli search --mesh')")
         sp.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"])
 

@@ -49,6 +49,7 @@ class SearchConfig:
     expand: int = 4                # frontier nodes expanded per lockstep hop
     dtype: str = "float32"         # search-space storage: float32 | bfloat16
     batch_size: int = 0            # 0 = whole query set in one device batch
+    packed: bool = False           # walker: inline (K,d) neighbor rows (pack_neighbors)
 
 
 @dataclasses.dataclass

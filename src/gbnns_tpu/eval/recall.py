@@ -28,11 +28,27 @@ def recall_at_k(pred_ids, gt_ids, k: int) -> float:
     For k=1 this is exact-NN accuracy; ties beyond position k in gt are not
     credited (same convention as the reference's brute-force GT comparison).
     """
-    pred = np.asarray(pred_ids)[:, :k]
-    gt = np.asarray(gt_ids)[:, :k]
+    pred = np.asarray(pred_ids)[:, :k].astype(np.int64)
+    gt = np.asarray(gt_ids)[:, :k].astype(np.int64)
     if pred.shape[0] != gt.shape[0]:
         raise ValueError(f"query count mismatch {pred.shape} vs {gt.shape}")
-    hits = 0
-    for p_row, g_row in zip(pred, gt):
-        hits += len(np.intersect1d(p_row, g_row, assume_unique=False))
-    return hits / (gt.shape[0] * k)
+    nq = gt.shape[0]
+
+    # Vectorized set intersection (the per-row np.intersect1d loop was O(nq)
+    # host work inside every bench scoring pass). Rows are made disjoint by
+    # a per-row offset so one flat sorted-membership test covers all queries.
+    order = np.argsort(pred, axis=1, kind="stable")
+    ps = np.take_along_axis(pred, order, axis=1)
+    dup_sorted = np.zeros_like(ps, dtype=bool)
+    dup_sorted[:, 1:] = ps[:, 1:] == ps[:, :-1]
+    dup = np.zeros_like(dup_sorted)
+    np.put_along_axis(dup, order, dup_sorted, axis=1)
+
+    stride = np.int64(max(int(pred.max(initial=0)), int(gt.max(initial=0))) + 2)
+    offset = np.arange(nq, dtype=np.int64)[:, None] * stride
+    p_keys = np.where((pred >= 0) & ~dup, pred + offset, np.int64(-1)).ravel()
+    g_keys = np.sort((gt + offset).ravel())
+    pos = np.searchsorted(g_keys, p_keys)
+    pos = np.minimum(pos, g_keys.size - 1)
+    hits = int(np.count_nonzero(g_keys[pos] == p_keys))
+    return hits / (nq * k)

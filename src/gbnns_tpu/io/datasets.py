@@ -52,6 +52,11 @@ class Dataset:
     source: str            # "files" | "synthetic"
 
 
+def _l2_normalize(x: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.maximum(norms, 1e-12)
+
+
 def data_dir() -> str:
     return os.environ.get("GBNNS_DATA_DIR", os.path.expanduser("~/gbnns_data"))
 
@@ -71,6 +76,13 @@ def load_dataset(name: str, *, scale: float = 1.0, seed: int = 0,
     if os.path.exists(base_p) and os.path.exists(query_p):
         base = np.ascontiguousarray(read_fvecs(base_p), dtype=np.float32)
         query = np.ascontiguousarray(read_fvecs(query_p), dtype=np.float32)
+        if info.metric == "angular":
+            # The distance kernels treat "angular" as -dot over pre-normalized
+            # vectors (distance.py); the synthetic path normalizes at
+            # generation time, so real files must be normalized here too or a
+            # GloVe mount would be searched by raw inner product.
+            base = _l2_normalize(base)
+            query = _l2_normalize(query)
         gt_p = os.path.join(root, "groundtruth.ivecs")
         gt = np.ascontiguousarray(read_ivecs(gt_p)) if os.path.exists(gt_p) else None
         if max_base is not None and base.shape[0] > max_base:

@@ -125,7 +125,9 @@ def run_pipeline(cfg: ExperimentConfig) -> dict[str, Any]:
                                cfg.search.num_entries, cfg.search.max_hops,
                                cfg.search.visited_mode,
                                expand=cfg.search.expand,
-                               dtype=cfg.search.dtype)
+                               dtype=cfg.search.dtype,
+                               batch_size=cfg.search.batch_size,
+                               packed=cfg.search.packed)
             return r
         results = sweep(run_one, list(cfg.search.efs))
 
@@ -158,6 +160,30 @@ def run_pipeline(cfg: ExperimentConfig) -> dict[str, Any]:
             "out_path": out_path}
 
 
+def microbatch(fn, query_arrays, batch_size: int):
+    """Run ``fn(*chunks)`` over query micro-batches and concatenate the
+    (ids, dists) outputs — bounds device memory for 10M-scale walker/scan
+    runs (SearchConfig.batch_size). The tail chunk is padded to ``batch_size``
+    so every call hits one compiled shape; padding rows are dropped on the
+    way out. ``batch_size<=0`` or >= nq runs the whole set in one batch."""
+    nq = query_arrays[0].shape[0]
+    if not batch_size or batch_size >= nq:
+        return fn(*query_arrays)
+    ids_out, dists_out = [], []
+    for s in range(0, nq, batch_size):
+        e = min(s + batch_size, nq)
+        chunk = [a[s:e] for a in query_arrays]
+        if e - s < batch_size:
+            pad = batch_size - (e - s)
+            chunk = [np.concatenate([np.asarray(c),
+                                     np.repeat(np.asarray(c[-1:]), pad, 0)])
+                     for c in chunk]
+        ids, dists = fn(*chunk)
+        ids_out.append(np.asarray(ids)[:e - s])
+        dists_out.append(np.asarray(dists)[:e - s])
+    return np.concatenate(ids_out), np.concatenate(dists_out)
+
+
 def _flat_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
     """Sweep the flat (projected MXU scan) index over candidate counts."""
     import jax
@@ -167,20 +193,24 @@ def _flat_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
     from gbnns_tpu.search.flat import FlatIndex
 
     idx = FlatIndex(base, base_lo, metric=cfg.metric)
+    recall_k = min(10, cfg.search.k)
     results = []
     for c in cfg.search.efs:
         def run(c=c):
-            return idx.search(query, query_lo, k=cfg.search.k, c=c)
+            return microbatch(
+                lambda q, ql: idx.search(q, ql, k=cfg.search.k, c=c),
+                (query, query_lo if query_lo is not None else query),
+                cfg.search.batch_size)
         qps, sec, (ids, dists) = time_search(run, query.shape[0],
                                              warmup=1, iters=3)
         ids = np.asarray(ids)
         r = BenchResult(
             label=f"flat-c{c}", ef=c, qps=qps, latency_ms=sec * 1e3,
             recall_at_1=recall_at_k(ids, gt, 1),
-            recall_at_10=recall_at_k(ids, gt, min(10, cfg.search.k)),
+            recall_at_10=recall_at_k(ids, gt, recall_k),
             n_queries=query.shape[0],
             dist_comps_per_query=float(base.shape[0]),
-            hops=0, extra={"index": "flat"})
+            hops=0, extra={"index": "flat", "recall_cutoff": recall_k})
         results.append(r)
         print(f"  c={c:4d}  R@1={r.recall_at_1:.4f}  R@10={r.recall_at_10:.4f}"
               f"  QPS={r.qps:,.0f}", flush=True)
@@ -198,6 +228,7 @@ def _sharded_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
     mesh = make_mesh(cfg.n_devices)
     idx = build_sharded_index(
         base, cfg.graph.k, mesh, base_lo=base_lo, metric=cfg.metric,
+        with_graph=cfg.search.index == "graph",
         build_kwargs=dict(chunk=cfg.graph.chunk,
                           node_chunk=cfg.graph.node_chunk,
                           exact=cfg.graph.exact, connect=cfg.graph.connect))
@@ -213,12 +244,14 @@ def _sharded_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
         qps, sec, (ids, dists) = time_search(run, query_lo.shape[0],
                                              warmup=1, iters=3)
         ids = np.asarray(ids)
+        recall_k = min(10, cfg.search.k)
         r = BenchResult(
             label=f"sharded-ef{ef}", ef=ef, qps=qps, latency_ms=sec * 1e3,
             recall_at_1=recall_at_k(ids, gt, 1),
-            recall_at_10=recall_at_k(ids, gt, min(10, cfg.search.k)),
+            recall_at_10=recall_at_k(ids, gt, recall_k),
             n_queries=query_lo.shape[0], dist_comps_per_query=float("nan"),
-            hops=-1, extra={"n_devices": cfg.n_devices})
+            hops=-1, extra={"n_devices": cfg.n_devices,
+                            "recall_cutoff": recall_k})
         results.append(r)
         print(f"  ef={ef:4d}  R@1={r.recall_at_1:.4f}  "
               f"R@10={r.recall_at_10:.4f}  QPS={r.qps:,.0f}", flush=True)

@@ -65,13 +65,17 @@ def make_mesh(n_devices: int | None = None, axis: str = "shards") -> Mesh:
 
 def build_sharded_index(base_full, K: int, mesh: Mesh, *,
                         base_lo=None, metric: str = "l2",
-                        axis: str = "shards",
+                        axis: str = "shards", with_graph: bool = True,
                         build_kwargs: dict[str, Any] | None = None) -> ShardedIndex:
     """Partition the corpus into contiguous per-device shards and build an
     independent kNN subgraph per shard (local ids). Shard p owns global ids
     [p*n_shard, (p+1)*n_shard); the tail shard is padded with +inf-distance
     sentinel rows (id slots -1 in the graph are never produced here since
-    padding rows only ever neighbor each other)."""
+    padding rows only ever neighbor each other).
+
+    ``with_graph=False`` skips the O(n²/P)-per-shard subgraph build for
+    indexes that will only ever be scanned (engine="flat") — the graph field
+    becomes a zero-width (Pn, n_shard, 0) placeholder."""
     base_full = np.asarray(base_full, dtype=np.float32)
     base_lo = base_full if base_lo is None else np.asarray(base_lo, np.float32)
     n, d = base_full.shape
@@ -94,12 +98,15 @@ def build_sharded_index(base_full, K: int, mesh: Mesh, *,
         base_full = np.concatenate([base_full, fill_full], axis=0)
         base_lo = np.concatenate([base_lo, fill_lo], axis=0)
 
-    kw = dict(build_kwargs or {})
-    graphs = []
-    for p in range(Pn):
-        shard = base_lo[p * n_shard:(p + 1) * n_shard]
-        graphs.append(build_knn_graph(shard, K, metric=metric, **kw))
-    graph = np.stack(graphs)  # (Pn, n_shard, K) local ids
+    if with_graph:
+        kw = dict(build_kwargs or {})
+        graphs = []
+        for p in range(Pn):
+            shard = base_lo[p * n_shard:(p + 1) * n_shard]
+            graphs.append(build_knn_graph(shard, K, metric=metric, **kw))
+        graph = np.stack(graphs)  # (Pn, n_shard, K) local ids
+    else:
+        graph = np.zeros((Pn, n_shard, 0), np.int32)
 
     shard_spec = NamedSharding(mesh, P(axis))
     return ShardedIndex(
@@ -128,6 +135,9 @@ def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
     """
     if engine not in ("graph", "flat"):
         raise ValueError(f"unknown engine {engine!r}")
+    if engine == "graph" and index.graph.shape[-1] == 0:
+        raise ValueError("index was built with with_graph=False; "
+                         "rebuild with with_graph=True for engine='graph'")
     axis = index.axis
     rr_metric = rerank_metric or metric
     cache_key = (k, ef, num_entries, max_hops, metric, rr_metric, engine)

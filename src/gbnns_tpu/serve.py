@@ -74,7 +74,11 @@ class SearchService:
             self.base_lo_f32 = jnp.asarray(
                 np.asarray(base_lo if base_lo is not None else base,
                            np.float32))
-            self.entries = default_entry_ids(self.graph.shape[0], 32)
+            # entry count must never exceed the effective pool size
+            # (beam_search rejects E > ef); _search uses ef=max(self.ef, k),
+            # so clamping to self.ef keeps any request valid.
+            self.entries = default_entry_ids(self.graph.shape[0],
+                                             min(32, self.ef))
 
         self._dispatcher = threading.Thread(target=self._run, daemon=True)
         self._dispatcher.start()
