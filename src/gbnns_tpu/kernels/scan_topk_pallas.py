@@ -1,0 +1,215 @@
+"""Fused Pallas scan: distances + binned candidate selection in VMEM.
+
+The flat engine's bottleneck at 1M+ rows is NOT compute — the score matmul
+is ~1 TFLOP at n=1M, B=16k — it is HBM traffic: XLA materializes the
+(B, n) f32 score matrix (65 GB at 1M/16k) to feed ``approx_max_k``
+(measured: the whole flat scan runs at HBM speed, SURVEY §8.2.1). This
+kernel fuses selection into the matmul so scores live and die in VMEM:
+
+  grid (n_chunks, b_tiles); each cell loads one corpus chunk (CN, d) and
+  one query tile (TQ, d), then loops over ``CN/BIN`` column bins:
+  one MXU contraction (TQ, BIN) per bin, immediately reduced to that bin's
+  min score + argmin column (VPU). Only (B, n/BIN) bin-winners ever reach
+  HBM — 500x less traffic than the score matrix at BIN=1024.
+
+Selection is approximate in exactly the way ``lax.approx_max_k`` is (its
+documented algorithm is this same bin-and-argmax PartialReduce): each bin
+yields one winner, so two true top-k ids colliding in one bin lose the
+worse one. With n/BIN bins the expected loss for top-10 is
+~45/(n/BIN) per query (<5% single-candidate loss at 1M/BIN=1024), and the
+full-dim re-rank stage absorbs it exactly like it absorbs projection
+error. The binned winners are merged to final top-k candidates by one
+tiny XLA top-k over (B, n/BIN).
+
+L2 uses the ``‖x‖² − 2 q·x`` expansion (the per-query ‖q‖² term cannot
+change a per-query ranking); ip/angular use ``−q·x``. Padding columns
+carry +inf in ``addvec`` so they never win a bin.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(a: int, m: int) -> int:
+    return -(-a // m) * m
+
+
+def _scan_kernel(q_ref, x_ref, add_ref, val_ref, idx_ref, *, n_bins_c: int,
+                 bin_size: int, l2: bool, packed: bool):
+    """One (corpus-chunk, query-tile) cell: bin-reduced scores.
+
+    Scores are computed transposed — (BIN, TQ), corpus rows on sublanes —
+    so the per-bin min/argmin is a sublane reduction and the outputs land
+    as (n_bins_c, TQ) row writes, whose block shape satisfies the TPU
+    (8, 128) tiling constraint (a (TQ, n_bins_c) layout would not).
+
+    ``packed=True`` replaces the min+argmin pair (2-3 VPU passes over every
+    score — the kernel's dominant cost, the matmul is ~3x cheaper) with ONE
+    integer min pass: the f32 score is mapped to its order-preserving int32
+    key (sign-magnitude -> two's-complement flip: the classic IEEE total-
+    order trick) and the low ``log2(bin_size)`` mantissa bits are replaced
+    by the in-bin row index. Integer min then yields winner AND position
+    together; the score the caller gets back is quantized by 2^-13 relative
+    (ties break toward lower index), which the final top-c merge and exact
+    full-dim re-rank absorb.
+
+    q_ref (TQ, d); x_ref (CN, d); add_ref (1, CN); outputs (n_bins_c, TQ).
+    """
+    j = pl.program_id(0)
+    q = q_ref[:]
+    cn = x_ref.shape[0]
+    base_col = j * cn
+    idx_bits = int(np.log2(bin_size))
+    mask = (1 << idx_bits) - 1
+
+    for b in range(n_bins_c):
+        xb = x_ref[b * bin_size:(b + 1) * bin_size, :]
+        dots = jax.lax.dot_general(
+            xb, q, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (BIN, TQ)
+        addb = add_ref[0, b * bin_size:(b + 1) * bin_size]
+        if l2:
+            scores = addb[:, None] - 2.0 * dots
+        else:
+            scores = addb[:, None] - dots
+        if packed:
+            bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+            # signed-int total order for IEEE floats: negatives flip their
+            # low 31 bits (reverses their order, keeps them below positives)
+            okey = jnp.where(bits < 0, bits ^ 0x7FFFFFFF, bits)
+            iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+            pkey = (okey & ~mask) | iota
+            pmin = jnp.min(pkey, axis=0)                 # ONE pass
+            pos = pmin & mask
+            obits = pmin & ~mask
+            vbits = jnp.where(obits < 0, obits ^ 0x7FFFFFFF, obits)
+            val_ref[b, :] = jax.lax.bitcast_convert_type(vbits, jnp.float32)
+        else:
+            pos = jnp.argmin(scores, axis=0).astype(jnp.int32)
+            val_ref[b, :] = jnp.min(scores, axis=0)
+        idx_ref[b, :] = pos + (base_col + b * bin_size)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "bin_size", "chunk", "tq", "interpret",
+                     "packed"),
+)
+def binned_scan(q, x, addvec, *, metric: str = "l2", bin_size: int = 1024,
+                chunk: int = 16384, tq: int = 512, interpret: bool = False,
+                packed: bool = True):
+    """Bin winners of the full scan: ``(vals (B, n_bins) f32, ids int32)``.
+
+    q (B, d) — cast to x.dtype inside; x (n_pad, d) with n_pad a multiple
+    of ``chunk``; addvec (n_pad,) f32 — ``‖x‖²`` for L2 (+inf on padding),
+    or 0/+inf for ip/angular.
+    """
+    B, d = q.shape
+    n_pad = x.shape[0]
+    assert n_pad % chunk == 0 and chunk % bin_size == 0
+    n_chunks = n_pad // chunk
+    n_bins_c = chunk // bin_size
+    n_bins = n_pad // bin_size
+    Bp = _round_up(B, tq)
+    qp = jnp.pad(q, ((0, Bp - B), (0, 0))).astype(x.dtype)
+    b_tiles = Bp // tq
+
+    if packed and (bin_size & (bin_size - 1)):
+        raise ValueError("packed selection needs power-of-two bin_size")
+    kernel = functools.partial(_scan_kernel, n_bins_c=n_bins_c,
+                               bin_size=bin_size, l2=metric == "l2",
+                               packed=packed)
+    grid = (n_chunks, b_tiles)
+    vals, ids = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, d), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_bins_c, tq), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bins_c, tq), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_bins, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((n_bins, Bp), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * n_pad * d,
+            bytes_accessed=(n_pad * d * x.dtype.itemsize * b_tiles
+                            + Bp * d * 4 + Bp * n_bins * 8),
+            transcendentals=0),
+        interpret=interpret,
+    )(qp, x, addvec.reshape(1, n_pad).astype(jnp.float32))
+    # back to query-major for the final merge (cheap: (n_bins, B) transpose)
+    return vals[:, :B].T, ids[:, :B].T
+
+
+class FusedScanIndex:
+    """Flat index whose candidate scan is the fused Pallas kernel.
+
+    Drop-in alternative to search.flat.FlatIndex for large corpora: same
+    (reduced-space scan → full-dim re-rank) contract, but the scan never
+    writes scores to HBM. ``c`` (re-rank pool) is the recall knob.
+    """
+
+    def __init__(self, base_full, base_lo=None, *, metric: str = "l2",
+                 scan_dtype=jnp.bfloat16, bin_size: int = 1024,
+                 chunk: int = 16384, tq: int = 512, packed: bool = True):
+        self.packed = packed
+        if metric not in ("l2", "ip", "angular"):
+            raise ValueError(f"unknown metric {metric!r}")
+        self.metric = metric
+        self.bin_size = bin_size
+        self.chunk = chunk
+        self.tq = tq
+        base_full = np.asarray(base_full, np.float32)
+        lo = base_full if base_lo is None else np.asarray(base_lo, np.float32)
+        n, d_lo = lo.shape
+        self.n = n
+        n_pad = _round_up(n, chunk)
+        lo_pad = np.zeros((n_pad, d_lo), np.float32)
+        lo_pad[:n] = lo
+        if metric == "l2":
+            add = (lo_pad ** 2).sum(-1)
+            add[n:] = np.inf
+        else:
+            add = np.zeros(n_pad, np.float32)
+            add[n:] = np.inf
+        self.x_lo = jnp.asarray(lo_pad, dtype=scan_dtype)
+        self.addvec = jnp.asarray(add)
+        self.base_full = jnp.asarray(base_full)
+        self.base_sq = jnp.sum(self.base_full * self.base_full, axis=-1)
+        # CPU/interpret fallback keeps tests runnable off-TPU
+        self.interpret = jax.default_backend() != "tpu"
+
+    def search(self, queries_full, queries_lo=None, *, k: int = 10,
+               c: int = 32):
+        from gbnns_tpu.search.rerank import rerank
+
+        qf = jnp.asarray(queries_full, dtype=jnp.float32)
+        ql = qf if queries_lo is None else jnp.asarray(queries_lo,
+                                                       dtype=jnp.float32)
+        vals, ids = binned_scan(ql, self.x_lo, self.addvec,
+                                metric=self.metric, bin_size=self.bin_size,
+                                chunk=self.chunk, tq=self.tq,
+                                interpret=self.interpret, packed=self.packed)
+        cc = min(c, vals.shape[1])
+        _, sel = jax.lax.top_k(-vals, cc)
+        cand = jnp.take_along_axis(ids, sel, axis=1)
+        return rerank(qf, self.base_full, cand, k, metric=self.metric,
+                      base_sqnorms=self.base_sq)

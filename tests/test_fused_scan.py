@@ -1,0 +1,98 @@
+"""Fused Pallas binned-scan kernel (interpret mode on CPU) vs numpy oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gbnns_tpu.eval.recall import recall_at_k
+from gbnns_tpu.kernels.scan_topk_pallas import FusedScanIndex, binned_scan
+
+
+def _mk(n=2048, d=32, B=64, seed=0):
+    rng = np.random.default_rng(seed)
+    x = (rng.normal(size=(n, d)) * 2.0 - 0.5).astype(np.float32)
+    q = rng.normal(size=(B, d)).astype(np.float32)
+    return x, q
+
+
+def _oracle_bins(q, x_bf16, add, bin_size):
+    """Numpy replica of the kernel's bin-argmin (bf16 inputs, f32 accum)."""
+    q_bf16 = np.asarray(jnp.asarray(q, dtype=jnp.bfloat16)).astype(np.float32)
+    scores = add[None, :] - 2.0 * (q_bf16 @ x_bf16.astype(np.float32).T)
+    B, n = scores.shape
+    sb = scores.reshape(B, n // bin_size, bin_size)
+    pos = sb.argmin(-1)
+    ids = pos + np.arange(n // bin_size)[None, :] * bin_size
+    vals = np.take_along_axis(sb, pos[:, :, None], axis=2)[:, :, 0]
+    return vals, ids
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_binned_scan_matches_oracle(packed):
+    x, q = _mk()
+    add = (x ** 2).sum(-1).astype(np.float32)
+    xb = jnp.asarray(x, dtype=jnp.bfloat16)
+    vals, ids = binned_scan(jnp.asarray(q), xb, jnp.asarray(add),
+                            bin_size=128, chunk=512, tq=64,
+                            interpret=True, packed=packed)
+    ovals, oids = _oracle_bins(q, np.asarray(xb), add, 128)
+    # packed selection quantizes keys (low bits carry the index), so scores
+    # within ~2^-13 relative tie and break toward the lower index
+    agree = np.asarray(ids) == oids
+    assert agree.mean() > 0.99
+    np.testing.assert_allclose(np.asarray(vals)[agree], ovals[agree],
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_packed_and_unpacked_agree():
+    x, q = _mk(seed=3)
+    add = (x ** 2).sum(-1).astype(np.float32)
+    xb = jnp.asarray(x, dtype=jnp.bfloat16)
+    kw = dict(bin_size=128, chunk=1024, tq=64, interpret=True)
+    v0, i0 = binned_scan(jnp.asarray(q), xb, jnp.asarray(add), packed=False, **kw)
+    v1, i1 = binned_scan(jnp.asarray(q), xb, jnp.asarray(add), packed=True, **kw)
+    # near-ties (within the key quantization) may pick different winners
+    assert (np.asarray(i0) == np.asarray(i1)).mean() > 0.99
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_packed_handles_negative_scores():
+    # ip metric: scores = -dots, heavily negative — exercises the sign flip
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(512, 32)).astype(np.float32) * 10
+    q = rng.normal(size=(32, 32)).astype(np.float32) * 10
+    add = np.zeros(512, np.float32)
+    xb = jnp.asarray(x, dtype=jnp.bfloat16)
+    kw = dict(metric="ip", bin_size=64, chunk=256, tq=32, interpret=True)
+    v0, i0 = binned_scan(jnp.asarray(q), xb, jnp.asarray(add), packed=False, **kw)
+    v1, i1 = binned_scan(jnp.asarray(q), xb, jnp.asarray(add), packed=True, **kw)
+    assert (np.asarray(i0) == np.asarray(i1)).mean() > 0.98
+    # packed min must track the true min closely even when all-negative
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-2,
+                               atol=1e-2)
+
+
+def test_fused_index_end_to_end(fixture_data, fixture_gt):
+    base, query = fixture_data
+    idx = FusedScanIndex(base, bin_size=32, chunk=256, tq=64)
+    ids, dists = idx.search(query, k=10, c=64)
+    # n=2048 / bin=32 -> 64 bins; with c=64 every bin winner is re-ranked,
+    # so only true in-bin collisions cost recall
+    assert recall_at_k(np.asarray(ids), fixture_gt, 1) > 0.99
+    assert recall_at_k(np.asarray(ids), fixture_gt, 10) > 0.90
+    d = np.asarray(dists)
+    assert (np.diff(d, axis=1) >= -1e-5).all()
+
+
+def test_fused_index_padding_never_returned():
+    # n NOT a multiple of chunk: padding columns must never win
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=(700, 16)).astype(np.float32)
+    query = rng.normal(size=(16, 16)).astype(np.float32)
+    idx = FusedScanIndex(base, bin_size=64, chunk=256, tq=16)
+    ids, _ = idx.search(query, k=5, c=16)
+    ids = np.asarray(ids)
+    assert ids.max() < 700
+    assert ids.min() >= 0

@@ -1,0 +1,99 @@
+"""IVF cluster-pruned engine: k-means, layout invariants, recall, knobs."""
+
+import numpy as np
+import pytest
+
+from gbnns_tpu.build.kmeans import kmeans_assign, kmeans_fit
+from gbnns_tpu.eval.recall import recall_at_k
+from gbnns_tpu.search.ivf import IVFIndex
+
+
+def test_kmeans_reduces_quantization_error(fixture_data):
+    base, _ = fixture_data
+    cents0 = kmeans_fit(base, 32, iters=0, seed=1)
+    cents = kmeans_fit(base, 32, iters=8, seed=1)
+
+    def qerr(c):
+        d2 = ((base[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return d2.min(1).mean()
+
+    assert qerr(cents) < qerr(cents0) * 0.9
+    assert cents.shape == (32, base.shape[1])
+    assert np.isfinite(cents).all()
+
+
+def test_kmeans_assign_matches_numpy(fixture_data):
+    base, _ = fixture_data
+    cents = kmeans_fit(base, 16, iters=4, seed=0)
+    assign = kmeans_assign(base, cents)
+    d2 = ((base[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    expect = d2.argmin(1)
+    # bf16 assignment may flip genuinely ambiguous rows; demand 99% agreement
+    assert (assign == expect).mean() > 0.99
+
+
+def test_ivf_layout_partitions_corpus(fixture_data):
+    base, _ = fixture_data
+    idx = IVFIndex.build(base, ncent=32, iters=4, seed=0)
+    bids = np.asarray(idx.block_ids).ravel()
+    sids = np.asarray(idx.spill_ids)
+    all_ids = np.concatenate([bids[bids >= 0], sids[sids >= 0]])
+    # every base row appears exactly once across blocks + spill
+    assert np.array_equal(np.sort(all_ids), np.arange(base.shape[0]))
+    assert idx.stats["spill_frac"] < 0.5
+
+
+def test_ivf_full_probe_is_near_exact(fixture_data, fixture_gt):
+    base, query = fixture_data
+    idx = IVFIndex.build(base, ncent=16, iters=4, seed=0)
+    # probing every cluster from one tile == flat scan + rerank
+    ids, dists = idx.search(query, k=10, c=64, probes=16)
+    r10 = recall_at_k(np.asarray(ids), fixture_gt, 10)
+    assert r10 > 0.99
+    d = np.asarray(dists)
+    assert (np.diff(d, axis=1) >= -1e-5).all()  # ascending
+
+
+def test_ivf_pruned_recall_and_monotone_knob(fixture_data, fixture_gt):
+    base, query = fixture_data
+    idx = IVFIndex.build(base, ncent=64, iters=6, seed=0)
+    r = {}
+    for nb in (2, 8, 32):
+        ids, _ = idx.search(query, k=10, c=64, probes=nb)
+        r[nb] = recall_at_k(np.asarray(ids), fixture_gt, 10)
+    assert r[32] >= r[2] - 0.02       # more probes never much worse
+    assert r[8] > 0.9                 # pruned scan is already accurate
+    assert r[32] > 0.98
+
+
+def test_ivf_reduced_space_with_rerank(fixture_data, fixture_gt):
+    from gbnns_tpu.dimred.pca import pca_fit, pca_transform
+
+    base, query = fixture_data
+    model = pca_fit(base, 16)
+    base_lo = np.asarray(pca_transform(model, base))
+    query_lo = np.asarray(pca_transform(model, query))
+    idx = IVFIndex.build(base, base_lo, ncent=32, iters=4, seed=0)
+    ids, _ = idx.search(query, query_lo, k=10, c=64, probes=8)
+    assert recall_at_k(np.asarray(ids), fixture_gt, 10) > 0.95
+
+
+def test_ivf_ragged_query_count(fixture_data, fixture_gt):
+    base, query = fixture_data
+    idx = IVFIndex.build(base, ncent=32, iters=4, seed=0)
+    q = query[:77]  # ragged
+    ids, _ = idx.search(q, k=10, c=32, probes=32)
+    assert np.asarray(ids).shape == (77, 10)
+    assert recall_at_k(np.asarray(ids), fixture_gt[:77], 10) > 0.95
+
+
+def test_ivf_angular_metric():
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(1024, 24)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    query = base[:32] + rng.normal(size=(32, 24)).astype(np.float32) * 0.05
+    query /= np.linalg.norm(query, axis=1, keepdims=True)
+    gt = np.argsort(-(query @ base.T), axis=1)[:, :10].astype(np.int32)
+    idx = IVFIndex.build(base, metric="angular", ncent=16, iters=4, seed=0)
+    ids, _ = idx.search(query, k=10, c=64, probes=16)
+    assert recall_at_k(np.asarray(ids), gt, 10) > 0.95
