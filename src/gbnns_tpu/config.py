@@ -40,9 +40,14 @@ class DimRedConfig:
 
 @dataclasses.dataclass
 class SearchConfig:
-    index: str = "graph"           # "graph" (beam walker) | "flat" (MXU scan)
+    # "graph" (beam walker) | "flat" (XLA MXU scan) | "fused" (Pallas
+    # binned scan) | "ivf" (cluster-pruned scan)
+    index: str = "graph"
     k: int = 10                    # final top-k
-    efs: tuple[int, ...] = (16, 32, 64, 128, 256)  # pool size / flat candidates
+    efs: tuple[int, ...] = (16, 32, 64, 128, 256)  # recall knob sweep:
+    # graph: pool size ef | flat/fused: re-rank pool c | ivf: probes
+    rerank_c: int = 32             # ivf: re-rank pool (probes swept via efs)
+    ivf_ncent: int = 0             # ivf: clusters (0 = auto ~4*sqrt(n))
     num_entries: int = 32
     max_hops: int = 256
     visited_mode: str = "beam"

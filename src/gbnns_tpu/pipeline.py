@@ -108,15 +108,18 @@ def run_pipeline(cfg: ExperimentConfig) -> dict[str, Any]:
     graph, build_time = (build_graph(cfg, base) if needs_graph
                          else (None, 0.0))
 
-    efs = [e for e in cfg.search.efs if e >= cfg.search.k]
-    skipped = [e for e in cfg.search.efs if e < cfg.search.k]
-    if skipped:
-        print(f"  skipping ef<{cfg.search.k} (pool must cover top-k): "
-              f"{skipped}", flush=True)
+    if cfg.search.index == "ivf":
+        efs = list(cfg.search.efs)  # probes need not cover k (rerank_c does)
+    else:
+        efs = [e for e in cfg.search.efs if e >= cfg.search.k]
+        skipped = [e for e in cfg.search.efs if e < cfg.search.k]
+        if skipped:
+            print(f"  skipping ef<{cfg.search.k} (pool must cover top-k): "
+                  f"{skipped}", flush=True)
     cfg.search.efs = tuple(efs)
     if cfg.n_devices and cfg.n_devices > 1:
         results = _sharded_sweep(cfg, base, base_lo, query, query_lo, gt)
-    elif cfg.search.index == "flat":
+    elif cfg.search.index in ("flat", "fused", "ivf"):
         results = _flat_sweep(cfg, base, base_lo, query, query_lo, gt)
     else:
         def run_one(ef):
@@ -185,32 +188,53 @@ def microbatch(fn, query_arrays, batch_size: int):
 
 
 def _flat_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
-    """Sweep the flat (projected MXU scan) index over candidate counts."""
+    """Sweep a scan engine (flat / fused Pallas / ivf) over its recall knob
+    (candidate pool c for the scans, probes for ivf)."""
     import jax
 
     from gbnns_tpu.eval.bench import BenchResult, time_search
     from gbnns_tpu.eval.recall import recall_at_k
-    from gbnns_tpu.search.flat import FlatIndex
 
-    idx = FlatIndex(base, base_lo, metric=cfg.metric)
+    kind = cfg.search.index
+    if kind == "fused":
+        from gbnns_tpu.kernels.scan_topk_pallas import FusedScanIndex
+
+        idx = FusedScanIndex(base, base_lo, metric=cfg.metric)
+    elif kind == "ivf":
+        from gbnns_tpu.search.ivf import IVFIndex
+
+        idx = IVFIndex.build(base, base_lo, metric=cfg.metric,
+                             ncent=cfg.search.ivf_ncent or None,
+                             seed=cfg.seed)
+    else:
+        from gbnns_tpu.search.flat import FlatIndex
+
+        idx = FlatIndex(base, base_lo, metric=cfg.metric)
     recall_k = min(10, cfg.search.k)
     results = []
     for c in cfg.search.efs:
-        def run(c=c):
+        if kind == "ivf":
+            dist_comps = float(c * idx.stats["cap"] + idx.stats["spill"])
+            kw = dict(probes=c, c=cfg.search.rerank_c)
+        else:
+            dist_comps = float(base.shape[0])
+            kw = dict(c=c)
+
+        def run(kw=kw):
             return microbatch(
-                lambda q, ql: idx.search(q, ql, k=cfg.search.k, c=c),
+                lambda q, ql: idx.search(q, ql, k=cfg.search.k, **kw),
                 (query, query_lo if query_lo is not None else query),
                 cfg.search.batch_size)
         qps, sec, (ids, dists) = time_search(run, query.shape[0],
                                              warmup=1, iters=3)
         ids = np.asarray(ids)
         r = BenchResult(
-            label=f"flat-c{c}", ef=c, qps=qps, latency_ms=sec * 1e3,
+            label=f"{kind}-c{c}", ef=c, qps=qps, latency_ms=sec * 1e3,
             recall_at_1=recall_at_k(ids, gt, 1),
             recall_at_10=recall_at_k(ids, gt, recall_k),
             n_queries=query.shape[0],
-            dist_comps_per_query=float(base.shape[0]),
-            hops=0, extra={"index": "flat", "recall_cutoff": recall_k})
+            dist_comps_per_query=dist_comps,
+            hops=0, extra={"index": kind, "recall_cutoff": recall_k})
         results.append(r)
         print(f"  c={c:4d}  R@1={r.recall_at_1:.4f}  R@10={r.recall_at_10:.4f}"
               f"  QPS={r.qps:,.0f}", flush=True)
