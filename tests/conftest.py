@@ -3,6 +3,13 @@ whole suite (including multi-chip sharding tests) runs offline on any host
 (SURVEY.md §7.4). Must run before jax initializes its backend."""
 
 import os
+import pathlib
+import sys
+
+# Make the suite runnable without an installed package (fresh environments).
+_src = str(pathlib.Path(__file__).resolve().parent.parent / "src")
+if _src not in sys.path:
+    sys.path.insert(0, _src)
 
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
