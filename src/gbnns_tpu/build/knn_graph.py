@@ -74,10 +74,14 @@ def build_knn_graph(base, K: int, *, metric: str = "l2",
         # crashes on single executions beyond ~60-90s, so neither a
         # per-chunk host loop nor one giant program survives at 1M scale.
         # Empirical exact-sweep rate on v5e ≈ 6e9 pair-distances/s at d=128
-        # (≈ 7.7e11 element-pairs/s) — scale the budget by dimension so
-        # high-d corpora (GIST 960d) don't produce one over-long execution.
-        elem_pairs_per_sec, exec_budget_s = 7.7e11, 25.0
-        pairs_per_sec = elem_pairs_per_sec / max(d, 1)
+        # (≈ 7.7e11 element-pairs/s). The matmul term scales with d but the
+        # top-k selection term does NOT (measured 7.15e9 pairs/s at d=32,
+        # not the 2.4e10 a pure-matmul model predicts — the unclamped model
+        # sized 84 s executions at d'=32/n=1M, which crash the worker), so
+        # compose both as serial costs with a conservative selection rate.
+        elem_pairs_per_sec, sel_pairs_per_sec, exec_budget_s = 7.7e11, 1e10, 20.0
+        pairs_per_sec = 1.0 / (max(d, 1) / elem_pairs_per_sec
+                               + 1.0 / sel_pairs_per_sec)
         mega = max(node_chunk,
                    int(pairs_per_sec * exec_budget_s / max(n, 1))
                    // node_chunk * node_chunk)

@@ -47,6 +47,15 @@ class TrainConfig:
     steps: int = 2000
     k_pos: int = 10                # positives drawn from top-k_pos true NNs
     hard_negatives: bool = True
+    # Graph-mined negatives: sample each anchor's negative from its own GT
+    # ranks [lo, hi) instead of uniformly from the corpus. These are the
+    # confusable near-misses whose ordering the projection must preserve —
+    # a uniform negative is usually so far away the hinge is trivially
+    # satisfied and contributes no gradient (the reference's known weakness
+    # on angular corpora, VERDICT round 1 item 5). Requires ``neighbors``
+    # rows at least ``hi`` wide. None = uniform negatives (reference
+    # behavior, SURVEY §4.2).
+    neg_ranks: tuple[int, int] | None = None
     init: str = "pca"              # linear model init: "pca" | "orthogonal"
     seed: int = 0
 
@@ -75,12 +84,20 @@ def train_projection(base, neighbors, cfg: TrainConfig,
     Returns {"params", "model", "cfg", "losses"}.
     """
     base = jnp.asarray(np.asarray(base, dtype=np.float32))
-    if neighbors.shape[1] < cfg.k_pos:
+    need_cols = cfg.k_pos
+    if cfg.neg_ranks is not None:
+        lo, hi = cfg.neg_ranks
+        if not (cfg.k_pos <= lo < hi):
+            raise ValueError(f"neg_ranks must satisfy k_pos <= lo < hi, got "
+                             f"{cfg.neg_ranks} with k_pos={cfg.k_pos}")
+        need_cols = max(need_cols, hi)
+    if neighbors.shape[1] < need_cols:
         # JAX gathers clamp out-of-range indices, which would silently bias
         # positive sampling toward the last column — fail loudly instead.
         raise ValueError(f"neighbors has {neighbors.shape[1]} columns but "
-                         f"k_pos={cfg.k_pos}; pass k_pos<= that or widen GT")
-    neighbors = jnp.asarray(np.asarray(neighbors[:, :cfg.k_pos], dtype=np.int32))
+                         f"{need_cols} are needed (k_pos={cfg.k_pos}, "
+                         f"neg_ranks={cfg.neg_ranks}); widen the GT rows")
+    neighbors = jnp.asarray(np.asarray(neighbors[:, :need_cols], dtype=np.int32))
     n, d = base.shape
     margin = cfg.margin if cfg.margin is not None else (
         1.0 if cfg.metric == "l2" else 0.05)
@@ -103,7 +120,12 @@ def train_projection(base, neighbors, cfg: TrainConfig,
         a_idx = jax.random.randint(ka, (cfg.batch_size,), 0, n)
         p_col = jax.random.randint(kp, (cfg.batch_size,), 0, cfg.k_pos)
         p_idx = neighbors[a_idx, p_col]
-        n_idx = jax.random.randint(kn, (cfg.batch_size,), 0, n)
+        if cfg.neg_ranks is not None:
+            n_col = jax.random.randint(kn, (cfg.batch_size,),
+                                       cfg.neg_ranks[0], cfg.neg_ranks[1])
+            n_idx = neighbors[a_idx, n_col]
+        else:
+            n_idx = jax.random.randint(kn, (cfg.batch_size,), 0, n)
 
         fa = apply_model(model, params, base[a_idx])
         fp = apply_model(model, params, base[p_idx])

@@ -62,6 +62,7 @@ def fit_projection(cfg: ExperimentConfig, base, query, gt):
                      lr=cfg.dimred.lr, batch_size=cfg.dimred.batch_size,
                      steps=cfg.dimred.steps, k_pos=cfg.dimred.k_pos,
                      hard_negatives=cfg.dimred.hard_negatives,
+                     neg_ranks=cfg.dimred.neg_ranks,
                      seed=cfg.dimred.seed)
     trained = train_projection(base, nbrs, tc)
     return project(trained, base), project(trained, query), {"trained": trained}
@@ -70,20 +71,34 @@ def fit_projection(cfg: ExperimentConfig, base, query, gt):
 def gt_for_training(cfg: ExperimentConfig, base, gt_query):
     """Training positives: each base node's true near neighbors — the
     base-vs-base GT (the kNN graph rows double as supervision,
-    SURVEY §4.2)."""
+    SURVEY §4.2). Widened past k_pos when graph-mined negatives
+    (dimred.neg_ranks) need deeper rank coverage."""
     from gbnns_tpu.eval.recall import exact_ground_truth
 
-    nbrs = exact_ground_truth(base, base, k=cfg.dimred.k_pos + 1,
-                              metric=cfg.metric)
+    need = cfg.dimred.k_pos
+    if cfg.dimred.neg_ranks is not None:
+        need = max(need, cfg.dimred.neg_ranks[1])
+    nbrs = exact_ground_truth(base, base, k=need + 1, metric=cfg.metric)
     return nbrs[:, 1:]
 
 
-def build_graph(cfg: ExperimentConfig, base):
+def build_graph(cfg: ExperimentConfig, base, base_lo=None):
+    """Build the kNN graph over ``cfg.graph.space`` vectors: "full" encodes
+    true neighborhoods (reference behavior); "reduced" builds in the walk's
+    own projected geometry (see GraphConfig.space)."""
     from gbnns_tpu.build.knn_graph import build_knn_graph
 
     g = cfg.graph
+    if g.space not in ("full", "reduced"):
+        raise ValueError(f"unknown graph space {g.space!r}")
+    vectors = base
+    if g.space == "reduced":
+        if base_lo is None:
+            raise ValueError("graph.space='reduced' needs a projection "
+                             "(dimred.method != 'none')")
+        vectors = base_lo
     t0 = time.perf_counter()
-    graph = build_knn_graph(base, g.k, metric=cfg.metric, chunk=g.chunk,
+    graph = build_knn_graph(vectors, g.k, metric=cfg.metric, chunk=g.chunk,
                             node_chunk=g.node_chunk, exact=g.exact,
                             recall_target=g.recall_target,
                             precision=g.precision, connect=g.connect)
@@ -105,7 +120,7 @@ def run_pipeline(cfg: ExperimentConfig) -> dict[str, Any]:
     # single-chip graph engine.
     sharded = bool(cfg.n_devices and cfg.n_devices > 1)
     needs_graph = cfg.search.index == "graph" and not sharded
-    graph, build_time = (build_graph(cfg, base) if needs_graph
+    graph, build_time = (build_graph(cfg, base, base_lo) if needs_graph
                          else (None, 0.0))
 
     if cfg.search.index == "ivf":

@@ -98,3 +98,31 @@ def test_angular_projection_normalized(fixture_data):
     trained = train_projection(base[:512], gt_self[:, 1:], cfg)
     y = project(trained, base[:100])
     np.testing.assert_allclose(np.linalg.norm(y, axis=1), 1.0, atol=1e-5)
+
+
+def test_neg_ranks_graph_mined_negatives(fixture_data, fixture_gt):
+    """Graph-mined negatives (TrainConfig.neg_ranks) train and validate."""
+    from gbnns_tpu.dimred.train import TrainConfig, train_projection
+    import numpy as np
+    import pytest
+
+    base, _ = fixture_data
+    nbrs = fixture_gt[: base.shape[0], 1:51] if fixture_gt.shape[0] >= base.shape[0] else None
+    # fixture_gt is query-vs-base; build base-vs-base rows instead
+    d2 = ((base[:256, None, :] - base[None, :256, :]) ** 2).sum(-1)
+    nbrs = np.argsort(d2, axis=1, kind="stable")[:, 1:51].astype(np.int32)
+    cfg = TrainConfig(d_out=8, steps=30, batch_size=64, k_pos=5,
+                      neg_ranks=(10, 50))
+    out = train_projection(base[:256], nbrs, cfg)
+    assert np.isfinite(out["losses"]).all()
+
+    # too-narrow neighbor rows must fail loudly
+    with pytest.raises(ValueError):
+        train_projection(base[:256], nbrs[:, :20],
+                         TrainConfig(d_out=8, steps=2, batch_size=16,
+                                     k_pos=5, neg_ranks=(10, 50)))
+    # invalid rank window must fail loudly
+    with pytest.raises(ValueError):
+        train_projection(base[:256], nbrs,
+                         TrainConfig(d_out=8, steps=2, batch_size=16,
+                                     k_pos=5, neg_ranks=(2, 50)))
