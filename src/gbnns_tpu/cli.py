@@ -135,7 +135,8 @@ def cmd_train(args):
 
 def _run_search(base_full, base_lo, query_full, query_lo, graph, gt, ef, k,
                 metric, num_entries, max_hops, visited_mode, iters=3,
-                expand=4, dtype="float32", batch_size=0, packed=False):
+                expand=4, dtype="float32", batch_size=0, packed=False,
+                walker="jax"):
     import jax
     import jax.numpy as jnp
 
@@ -145,6 +146,12 @@ def _run_search(base_full, base_lo, query_full, query_lo, graph, gt, ef, k,
     from gbnns_tpu.search.walker_jax import (beam_search, default_entry_ids,
                                              pack_neighbors)
 
+    if walker not in ("jax", "pallas"):
+        raise ValueError(f"unknown walker {walker!r}")
+    if walker == "pallas" and visited_mode != "beam":
+        raise ValueError("walker='pallas' supports visited_mode='beam' only "
+                         "(the exact visited table is a parity/oracle mode "
+                         "of the pure-JAX walker)")
     sdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     qlo = jnp.asarray(query_lo, dtype=sdt)
     qfull = jnp.asarray(query_full)
@@ -152,8 +159,14 @@ def _run_search(base_full, base_lo, query_full, query_lo, graph, gt, ef, k,
     bfull = jnp.asarray(base_full)
     gj = jnp.asarray(graph)
     entries = default_entry_ids(base_lo.shape[0], min(num_entries, ef))
-    pv = psq = None
-    if packed:
+    pv = psq = payload = None
+    if walker == "pallas":
+        from gbnns_tpu.search.walker_pallas import pack_hop_payload
+
+        payload = pack_hop_payload(
+            graph, base_lo,
+            vec_dtype="bfloat16" if dtype == "bfloat16" else "float32")
+    elif packed:
         pv_np, psq_np = pack_neighbors(graph, base_lo, dtype=np.float32)
         pv, psq = jnp.asarray(pv_np, dtype=sdt), jnp.asarray(psq_np)
 
@@ -162,9 +175,17 @@ def _run_search(base_full, base_lo, query_full, query_lo, graph, gt, ef, k,
     hops_acc = []
 
     def search_chunk(qlo_c, qfull_c):
-        res = beam_search(qlo_c, blo, gj, entries, ef=ef, metric=metric,
-                          max_hops=max_hops, visited_mode=visited_mode,
-                          expand=expand, packed_vecs=pv, packed_sqnorms=psq)
+        if walker == "pallas":
+            from gbnns_tpu.search.walker_pallas import beam_search_pallas
+
+            res = beam_search_pallas(qlo_c.astype(jnp.float32), payload, blo,
+                                     entries, ef=ef, metric=metric,
+                                     max_hops=max_hops, expand=expand)
+        else:
+            res = beam_search(qlo_c, blo, gj, entries, ef=ef, metric=metric,
+                              max_hops=max_hops, visited_mode=visited_mode,
+                              expand=expand, packed_vecs=pv,
+                              packed_sqnorms=psq)
         n_dist_acc.append(res.n_dist)
         hops_acc.append(res.hops)
         return rerank(qfull_c, bfull, res.ids, k, metric=metric)
@@ -184,7 +205,8 @@ def _run_search(base_full, base_lo, query_full, query_lo, graph, gt, ef, k,
         label=f"ef{ef}", ef=ef, qps=qps, latency_ms=sec * 1e3,
         recall_at_1=r1, recall_at_10=r10, n_queries=nq,
         dist_comps_per_query=float(n_dist.mean()),
-        hops=hops, extra={"recall_cutoff": min(10, k), "packed": packed}), ids
+        hops=hops, extra={"recall_cutoff": min(10, k), "packed": packed,
+                          "walker": walker}), ids
 
 
 def _load_search_inputs(args):
@@ -245,7 +267,8 @@ def cmd_search(args):
                              args.k, args.metric, args.num_entries,
                              args.max_hops, args.visited_mode,
                              expand=args.expand, dtype=args.dtype,
-                             batch_size=args.batch_size, packed=args.packed)
+                             batch_size=args.batch_size, packed=args.packed,
+                             walker=args.walker)
     print(json.dumps(r.to_json(), indent=2))
     if args.out:
         write_ivecs(args.out, ids)
@@ -266,7 +289,8 @@ def cmd_sweep(args):
                                args.k, args.metric, args.num_entries,
                                args.max_hops, args.visited_mode,
                                expand=args.expand, dtype=args.dtype,
-                               batch_size=args.batch_size, packed=args.packed)
+                               batch_size=args.batch_size, packed=args.packed,
+                               walker=args.walker)
         return r
 
     sweep(run_one, efs, out_path=args.out)
@@ -395,6 +419,10 @@ def main(argv=None):
                         help="query micro-batch (0 = whole set)")
         sp.add_argument("--packed", action="store_true",
                         help="inline (K,d) neighbor rows (pack_neighbors)")
+        sp.add_argument("--walker", default="jax",
+                        choices=["jax", "pallas"],
+                        help="graph-walk hop backend: pure-XLA gathers or "
+                             "the Pallas DMA-gather kernel")
         sp.add_argument("--n-devices", type=int, default=None,
                         dest="n_devices",
                         help=">1: shard base+graph over an ICI mesh "

@@ -37,7 +37,9 @@ import numpy as np
 
 from gbnns_tpu.kernels.distance import METRICS, squared_norms
 from gbnns_tpu.kernels.gather_pallas import dma_row_gather
-from gbnns_tpu.search.walker_jax import SearchResult, _batched_dists
+from gbnns_tpu.search.walker_jax import (SearchResult, _batched_dists,
+                                         intra_dedup_mask, merge_pool,
+                                         select_frontier)
 
 _INF = float("inf")
 _ROW_WORDS = 1024  # (8, 128) f32 tile = one 4 KB DMA unit
@@ -104,7 +106,10 @@ def pack_hop_payload(graph, base_lo, *, vec_dtype: str = "float32",
 
 def _decode(raw, *, K: int, d: int, vec_words: int, bf16: bool):
     """(R, S, 128) f32 container rows → (vecs (R,K,d) f32, sq (R,K),
-    ids (R,K) int32). Bitcast layout matches numpy's little-endian .view."""
+    ids (R,K) int32). Bitcast layout matches numpy's little-endian .view.
+
+    Test/debug helper — the hop itself uses ``_hop_dists``, which never
+    materializes the (R, K, d) vector tensor (see its docstring)."""
     R = raw.shape[0]
     flat = raw.reshape(R, -1)
     vw = flat[:, :vec_words]
@@ -117,6 +122,38 @@ def _decode(raw, *, K: int, d: int, vec_words: int, bf16: bool):
     ids = jax.lax.bitcast_convert_type(flat[:, vec_words:vec_words + K],
                                        jnp.int32)
     return vecs, sq, ids
+
+
+def _hop_dists(raw, qf, q_sq, *, B: int, M: int, K: int, d: int,
+               vec_words: int, bf16: bool, metric: str, precision: str):
+    """Distances + neighbor ids straight from the raw payload rows:
+    (dist (B, M*K) f32, ids (B, M*K) int32).
+
+    The naive decode (bitcast → reshape to (R, K, d) → f32 einsum) costs
+    ~28 ms per hop at B=8192/M=4 on v5e: the reshape crosses the bitcast's
+    trailing pair axis, which Mosaic lowers as a full lane-shuffle
+    relayout. Contracting the pair layout directly ("bktp,btp->bk",
+    measured 3.5 ms) or pure leading-axis reshapes for f32 (3.0 ms) keeps
+    every reshape layout-trivial."""
+    flat = raw.reshape(B, M, -1)[..., :vec_words].reshape(B, M * vec_words)
+    ids = jax.lax.bitcast_convert_type(
+        raw.reshape(B, M, -1)[..., vec_words:vec_words + K],
+        jnp.int32).reshape(B, M * K)
+    if bf16:
+        vb = jax.lax.bitcast_convert_type(flat, jnp.bfloat16)  # (B, MvW, 2)
+        vb = vb.reshape(B, M * K, d // 2, 2)
+        qb = qf.astype(jnp.bfloat16).reshape(B, d // 2, 2)
+        dots = jnp.einsum("bktp,btp->bk", vb, qb,
+                          preferred_element_type=jnp.float32)
+        if metric in ("ip", "angular"):
+            return -dots, ids
+        sq = jnp.einsum("bktp,bktp->bk", vb, vb,
+                        preferred_element_type=jnp.float32)
+        return jnp.maximum(q_sq[:, None] - 2.0 * dots + sq, 0.0), ids
+    vecs = flat.reshape(B, M * K, d)
+    sq = squared_norms(vecs)
+    dist = _batched_dists(qf, vecs, sq, q_sq, metric, precision=precision)
+    return dist, ids
 
 
 @functools.partial(
@@ -165,51 +202,29 @@ def _beam_search_payload(queries, payload_data, base_lo, entry_ids, *,
     def body(state):
         beam_ids, beam_d, expanded, n_dist, hop, _ = state
 
-        # -- frontier: M best unexpanded pool entries per query ----------
-        unexp_d = jnp.where(expanded, _INF, beam_d)
-        neg_f, f_pos = jax.lax.top_k(-unexp_d, M)
-        f_d = -neg_f
-        worst = beam_d[:, -1]
-        live = (f_d < _INF) & (f_d <= worst[:, None])
-        f_ids = jnp.take_along_axis(beam_ids, f_pos, axis=1)
-        f_ids = jnp.where(live, f_ids, 0)
-
-        iota_ef = jax.lax.broadcasted_iota(jnp.int32, (1, M, ef), 2)
-        hit = (iota_ef == f_pos[:, :, None]) & live[:, :, None]
-        expanded = expanded | jnp.any(hit, axis=1)
+        # -- frontier: first M unexpanded entries of the sorted pool -----
+        f_ids, live, expanded = select_frontier(beam_ids, beam_d, expanded, M)
 
         # -- THE HOT OP: one 4 KB-class DMA per expanded node ------------
         raw = dma_row_gather(payload_data, f_ids.reshape(B * M),
                              interpret=interpret)
-        nv, nsq, nid = _decode(raw, K=K, d=d, vec_words=vec_words, bf16=bf16)
-        nv = nv.reshape(B, M * K, d)
-        nsq = nsq.reshape(B, M * K)
-        nbrs = jnp.where(jnp.repeat(live, K, axis=1),
-                         nid.reshape(B, M * K), -1)
-        dist = _batched_dists(qf, nv, nsq, q_sq, metric, precision=precision)
+        dist, nid = _hop_dists(raw, qf, q_sq, B=B, M=M, K=K, d=d,
+                               vec_words=vec_words, bf16=bf16, metric=metric,
+                               precision=precision)
+        nbrs = jnp.where(jnp.repeat(live, K, axis=1), nid, -1)
 
         # -- dedup / pool merge: identical to walker_jax ------------------
         dup = jnp.any(nbrs[:, :, None] == beam_ids[:, None, :], axis=-1)
         if M > 1 and intra_dedup:
-            earlier = (nbrs[:, :, None] == nbrs[:, None, :]) \
-                & (jnp.arange(M * K)[None, None, :]
-                   < jnp.arange(M * K)[None, :, None])
-            dup = dup | jnp.any(earlier, axis=-1)
+            dup = dup | intra_dedup_mask(nbrs, M * K)
         invalid = (nbrs < 0) | dup
         cand_d = jnp.where(invalid, _INF, dist)
         n_dist = n_dist + jnp.sum(~invalid, axis=1).astype(jnp.int32)
 
-        all_ids = jnp.concatenate([beam_ids, nbrs], axis=1)
-        all_d = jnp.concatenate([beam_d, cand_d], axis=1)
-        all_exp = jnp.concatenate([expanded, invalid], axis=1)
-        _, sel = jax.lax.top_k(-all_d, ef)
-        beam_ids = jnp.take_along_axis(all_ids, sel, axis=1)
-        beam_d = jnp.take_along_axis(all_d, sel, axis=1)
-        expanded = jnp.take_along_axis(all_exp, sel, axis=1)
+        beam_ids, beam_d, expanded = merge_pool(
+            beam_ids, beam_d, expanded, nbrs, cand_d, invalid, ef)
 
-        unexp_next = jnp.where(expanded, _INF, beam_d)
-        nxt_best = jnp.min(unexp_next, axis=1)
-        any_active = jnp.any((nxt_best < _INF) & (nxt_best <= beam_d[:, -1]))
+        any_active = jnp.any(~expanded)
         return (beam_ids, beam_d, expanded, n_dist, hop + 1, any_active)
 
     beam_ids, beam_d, expanded, n_dist, hops, _ = \
