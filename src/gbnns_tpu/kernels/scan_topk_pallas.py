@@ -97,6 +97,167 @@ def _scan_kernel(q_ref, x_ref, add_ref, val_ref, idx_ref, *, n_bins_c: int,
         idx_ref[b, :] = pos + (base_col + b * bin_size)
 
 
+def _scan_kernel_shifted(q_ref, x_ref, val_ref, idx_ref, *, n_bins_c: int,
+                         bin_size: int):
+    """Shifted-key cell: the WHOLE score comes out of the MXU.
+
+    The corpus is pre-augmented (see ``augment_corpus``) so that one
+    contraction yields ``‖x‖² − 2 q·x + ‖q‖²  >= ~0``: non-negative IEEE
+    floats compare correctly as signed int32, so the sign-flip of the
+    packed mode disappears and the per-score epilogue shrinks from ~7 VPU
+    ops to 3 (and, or, min). Norms ride in as bf16 hi+lo pairs (~2^-17
+    relative), so the residual negative scores are at the 2^-16 scale —
+    only exact-duplicate rows can invert, which the re-rank absorbs.
+
+    MEASURED OUTCOME (v5e, n=1M, B=16k, interleaved A/B): binned/packed
+    ~305k QPS vs shifted ~240k — the epilogue op-count model was wrong;
+    the kernel is bound by the matmul/load pipeline, and widening the
+    corpus row from 32 to 36 non-tile-aligned lanes costs more than the
+    VPU savings. Kept as a documented negative result; ``mode="binned"``
+    stays the default (SURVEY §8 round-2 addendum).
+    """
+    j = pl.program_id(0)
+    q = q_ref[:]
+    cn = x_ref.shape[0]
+    base_col = j * cn
+    idx_bits = int(np.log2(bin_size))
+    mask = (1 << idx_bits) - 1
+
+    for b in range(n_bins_c):
+        xb = x_ref[b * bin_size:(b + 1) * bin_size, :]
+        scores = jax.lax.dot_general(
+            xb, q, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (BIN, TQ)
+        bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        pkey = (bits & ~mask) | iota
+        pmin = jnp.min(pkey, axis=0)
+        val_ref[b, :] = jax.lax.bitcast_convert_type(pmin & ~mask,
+                                                     jnp.float32)
+        idx_ref[b, :] = (pmin & mask) + (base_col + b * bin_size)
+
+
+def _split_hi_lo(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """f32 vector → bf16-representable (hi, lo) with hi+lo ≈ v to ~2^-17."""
+    import ml_dtypes
+
+    hi = v.astype(ml_dtypes.bfloat16).astype(np.float32)
+    lo = (v - hi).astype(ml_dtypes.bfloat16).astype(np.float32)
+    return hi, lo
+
+
+def augment_corpus(x_lo_pad: np.ndarray, n: int, metric: str) -> np.ndarray:
+    """Fold the full distance into one matmul: returns x_aug (n_pad, d+5
+    for l2, d+1 for ip/angular) f32 (cast to the scan dtype by the caller).
+
+      l2:  x_aug = [-2x | nhi | nlo | 1 | 1]  vs  q_aug = [q | 1 | 1 | qhi | qlo]
+           → score = ‖x‖² − 2 q·x + ‖q‖²  (true squared distance, >= ~0)
+      ip:  x_aug = [-x | 1]                vs  q_aug = [q | C_q]
+           → score = C_q − q·x >= 0 with C_q = 1.02·‖q‖·max‖x‖
+
+    The -2x scaling is an exact exponent shift; norms are of the
+    *scan-dtype-rounded* vectors so the matmul reconstructs them exactly
+    (see _scan_kernel_shifted). Padding rows (index >= n) get nhi=+inf
+    (l2) / a -inf dot (ip) so they never win a bin.
+    """
+    import ml_dtypes
+
+    n_pad, d = x_lo_pad.shape
+    xr = x_lo_pad.astype(ml_dtypes.bfloat16).astype(np.float32)
+    if metric == "l2":
+        nsq = (xr * xr).sum(-1)
+        nhi, nlo = _split_hi_lo(nsq)
+        aug = np.zeros((n_pad, d + 4), np.float32)
+        aug[:, :d] = -2.0 * xr
+        aug[:, d] = nhi
+        aug[:, d + 1] = nlo
+        aug[:, d + 2] = 1.0
+        aug[:, d + 3] = 1.0
+        aug[n:, :] = 0.0
+        aug[n:, d] = np.inf
+        return aug
+    aug = np.zeros((n_pad, d + 1), np.float32)
+    aug[:, :d] = -xr
+    aug[:, d] = 1.0
+    aug[n:, :] = 0.0
+    aug[n:, d] = np.inf    # C_q >= 1 ⇒ padding score = +inf → always loses
+    return aug
+
+
+def augment_queries(q: jax.Array, metric: str, max_norm: float) -> jax.Array:
+    """Device-side query augmentation matching ``augment_corpus``."""
+    d = q.shape[1]
+    qb = q.astype(jnp.bfloat16).astype(jnp.float32)
+    if metric == "l2":
+        qsq = jnp.sum(qb * qb, axis=1)
+        qhi = qsq.astype(jnp.bfloat16).astype(jnp.float32)
+        qlo = qsq - qhi
+        ones = jnp.ones_like(qsq)
+        return jnp.concatenate(
+            [q, ones[:, None], ones[:, None], qhi[:, None], qlo[:, None]],
+            axis=1)
+    cq = 1.02 * jnp.sqrt(jnp.sum(qb * qb, axis=1)) * max_norm + 1.0
+    return jnp.concatenate([q, cq[:, None]], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bin_size", "chunk", "tq", "interpret"),
+)
+def shifted_scan(q_aug, x_aug, *, bin_size: int = 1024, chunk: int = 16384,
+                 tq: int = 512, interpret: bool = False):
+    """Bin winners via the shifted-key kernel: ``(vals (B, n_bins) f32
+    — per-query-shifted scores, monotone within a query — , ids int32)``.
+
+    q_aug (B, d_aug) f32 (cast to x dtype inside); x_aug (n_pad, d_aug)
+    from ``augment_corpus``, n_pad a multiple of ``chunk``.
+    """
+    B, d_aug = q_aug.shape
+    n_pad = x_aug.shape[0]
+    if x_aug.shape[1] != d_aug:
+        raise ValueError(f"q_aug width {d_aug} != x_aug width "
+                         f"{x_aug.shape[1]} (augment mismatch)")
+    assert n_pad % chunk == 0 and chunk % bin_size == 0
+    if bin_size & (bin_size - 1):
+        raise ValueError("shifted selection needs power-of-two bin_size")
+    n_chunks = n_pad // chunk
+    n_bins_c = chunk // bin_size
+    n_bins = n_pad // bin_size
+    Bp = _round_up(B, tq)
+    qp = jnp.pad(q_aug, ((0, Bp - B), (0, 0))).astype(x_aug.dtype)
+    b_tiles = Bp // tq
+
+    kernel = functools.partial(_scan_kernel_shifted, n_bins_c=n_bins_c,
+                               bin_size=bin_size)
+    vals, ids = pl.pallas_call(
+        kernel,
+        grid=(n_chunks, b_tiles),
+        in_specs=[
+            pl.BlockSpec((tq, d_aug), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d_aug), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_bins_c, tq), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bins_c, tq), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_bins, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((n_bins, Bp), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * n_pad * d_aug,
+            bytes_accessed=(n_pad * d_aug * x_aug.dtype.itemsize * b_tiles
+                            + Bp * d_aug * 4 + Bp * n_bins * 8),
+            transcendentals=0),
+        interpret=interpret,
+    )(qp, x_aug)
+    return vals[:, :B].T, ids[:, :B].T
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "bin_size", "chunk", "tq", "interpret",
@@ -169,11 +330,15 @@ class FusedScanIndex:
 
     def __init__(self, base_full, base_lo=None, *, metric: str = "l2",
                  scan_dtype=jnp.bfloat16, bin_size: int = 1024,
-                 chunk: int = 16384, tq: int = 512, packed: bool = True):
+                 chunk: int = 16384, tq: int = 512, packed: bool = True,
+                 mode: str = "binned"):
         self.packed = packed
         if metric not in ("l2", "ip", "angular"):
             raise ValueError(f"unknown metric {metric!r}")
+        if mode not in ("shifted", "binned"):
+            raise ValueError(f"unknown mode {mode!r}")
         self.metric = metric
+        self.mode = mode
         self.bin_size = bin_size
         self.chunk = chunk
         self.tq = tq
@@ -184,14 +349,19 @@ class FusedScanIndex:
         n_pad = _round_up(n, chunk)
         lo_pad = np.zeros((n_pad, d_lo), np.float32)
         lo_pad[:n] = lo
-        if metric == "l2":
-            add = (lo_pad ** 2).sum(-1)
-            add[n:] = np.inf
+        if mode == "shifted":
+            self.x_aug = jnp.asarray(augment_corpus(lo_pad, n, metric),
+                                     dtype=scan_dtype)
+            self.max_norm = float(np.sqrt((lo ** 2).sum(-1).max()))
         else:
-            add = np.zeros(n_pad, np.float32)
-            add[n:] = np.inf
-        self.x_lo = jnp.asarray(lo_pad, dtype=scan_dtype)
-        self.addvec = jnp.asarray(add)
+            if metric == "l2":
+                add = (lo_pad ** 2).sum(-1)
+                add[n:] = np.inf
+            else:
+                add = np.zeros(n_pad, np.float32)
+                add[n:] = np.inf
+            self.x_lo = jnp.asarray(lo_pad, dtype=scan_dtype)
+            self.addvec = jnp.asarray(add)
         self.base_full = jnp.asarray(base_full)
         self.base_sq = jnp.sum(self.base_full * self.base_full, axis=-1)
         # CPU/interpret fallback keeps tests runnable off-TPU
@@ -204,10 +374,17 @@ class FusedScanIndex:
         qf = jnp.asarray(queries_full, dtype=jnp.float32)
         ql = qf if queries_lo is None else jnp.asarray(queries_lo,
                                                        dtype=jnp.float32)
-        vals, ids = binned_scan(ql, self.x_lo, self.addvec,
-                                metric=self.metric, bin_size=self.bin_size,
-                                chunk=self.chunk, tq=self.tq,
-                                interpret=self.interpret, packed=self.packed)
+        if self.mode == "shifted":
+            q_aug = augment_queries(ql, self.metric, getattr(self, "max_norm", 1.0))
+            vals, ids = shifted_scan(q_aug, self.x_aug,
+                                     bin_size=self.bin_size, chunk=self.chunk,
+                                     tq=self.tq, interpret=self.interpret)
+        else:
+            vals, ids = binned_scan(ql, self.x_lo, self.addvec,
+                                    metric=self.metric, bin_size=self.bin_size,
+                                    chunk=self.chunk, tq=self.tq,
+                                    interpret=self.interpret,
+                                    packed=self.packed)
         cc = min(c, vals.shape[1])
         _, sel = jax.lax.top_k(-vals, cc)
         cand = jnp.take_along_axis(ids, sel, axis=1)

@@ -96,3 +96,49 @@ def test_fused_index_padding_never_returned():
     ids = np.asarray(ids)
     assert ids.max() < 700
     assert ids.min() >= 0
+
+
+def test_shifted_scan_matches_bin_winners():
+    """Shifted-key kernel picks the same bin winners as the numpy oracle
+    (values are per-query-shifted, so compare ids + recall, not values)."""
+    from gbnns_tpu.kernels.scan_topk_pallas import (augment_corpus,
+                                                    augment_queries,
+                                                    shifted_scan)
+    x, q = _mk()
+    n = x.shape[0]
+    aug = augment_corpus(x, n, "l2")
+    vals, ids = shifted_scan(
+        augment_queries(jnp.asarray(q), "l2", 1.0),
+        jnp.asarray(aug, jnp.bfloat16),
+        bin_size=128, chunk=512, tq=64, interpret=True)
+    xb = np.asarray(jnp.asarray(x, jnp.bfloat16))
+    add = (xb.astype(np.float32) ** 2).sum(-1)
+    _, oids = _oracle_bins(q, xb, add, 128)
+    # ties/rounding can flip a winner between near-equal rows in a bin
+    agree = (np.asarray(ids) == oids).mean()
+    assert agree > 0.97
+    # shifted values must be monotone with the oracle's ranking per query:
+    order = np.argsort(np.asarray(vals), axis=1)
+    assert np.asarray(vals).min() > -1e-2
+
+
+def test_shifted_index_end_to_end(fixture_data, fixture_gt):
+    from gbnns_tpu.kernels.scan_topk_pallas import FusedScanIndex
+    base, query = fixture_data
+    idx = FusedScanIndex(base, bin_size=32, chunk=256, tq=64,
+                         mode="shifted")
+    ids, dists = idx.search(query, k=10, c=64)
+    assert recall_at_k(np.asarray(ids), fixture_gt, 10) > 0.9
+
+
+def test_shifted_index_angular(fixture_data, fixture_gt):
+    from gbnns_tpu.kernels.scan_topk_pallas import FusedScanIndex
+    base, query = fixture_data
+    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    qn = query / np.linalg.norm(query, axis=1, keepdims=True)
+    idx = FusedScanIndex(bn, metric="angular", bin_size=32, chunk=256,
+                         tq=64, mode="shifted")
+    ids, _ = idx.search(qn, k=10, c=64)
+    d2 = -(qn @ bn.T)
+    gt = np.argsort(d2, axis=1, kind="stable")[:, :10].astype(np.int32)
+    assert recall_at_k(np.asarray(ids), gt, 10) > 0.9
