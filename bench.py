@@ -153,28 +153,22 @@ def main():
         if r10 >= 0.995:
             break
 
-    # ---- graph walker (reference-parity engine; optional at 1M) --------
+    # ---- graph engine (DMA-payload walker + centroid entries) ----------
+    # Off by default at 1M (the fused scan wins there and the reduced-space
+    # graph build adds ~7 min); GBNNS_BENCH_GRAPH=1 opts in.
     build_time = 0.0
     if os.environ.get("GBNNS_BENCH_GRAPH") or n <= 200_000:
-        from gbnns_tpu.build.knn_graph import build_knn_graph
-        from gbnns_tpu.search.rerank import rerank
-        from gbnns_tpu.search.walker_jax import beam_search, default_entry_ids
+        from gbnns_tpu.search.graph_index import GraphIndex
 
         t0 = time.perf_counter()
-        graph = build_knn_graph(base, K)
+        gidx = GraphIndex.build(base, base_lo, K=K,
+                                ncent=max(64, min(4096, n // 256)))
         build_time = time.perf_counter() - t0
-        log(f"  graph build: {build_time:.1f}s")
-        blo_j = jnp.asarray(base_lo)
-        gj = jnp.asarray(graph)
-        for ef in (32, 64, 128):
-            entries = default_entry_ids(n, min(32, ef))
-
-            def run(ef=ef, entries=entries):
-                res = beam_search(qlo_j, blo_j, gj, entries, ef=ef,
-                                  max_hops=192)
-                return rerank(q_j, jnp.asarray(base), res.ids, 10)
-
-            qps, r1, r10 = timed(run)
+        log(f"  graph build (reduced space + payload + centroids): "
+            f"{build_time:.1f}s")
+        for ef in (32, 48, 64, 96):
+            qps, r1, r10 = timed(
+                lambda ef=ef: gidx.search(q_j, qlo_j, k=10, ef=ef))
             log(f"  graph ef={ef:3d} R@1={r1:.4f} R@10={r10:.4f} "
                 f"QPS={qps:,.0f}")
             consider("graph", dict(ef=ef), qps, r1, r10)

@@ -136,7 +136,7 @@ def cmd_train(args):
 def _run_search(base_full, base_lo, query_full, query_lo, graph, gt, ef, k,
                 metric, num_entries, max_hops, visited_mode, iters=3,
                 expand=4, dtype="float32", batch_size=0, packed=False,
-                walker="jax"):
+                walker="jax", centroid_entries=0):
     import jax
     import jax.numpy as jnp
 
@@ -158,7 +158,15 @@ def _run_search(base_full, base_lo, query_full, query_lo, graph, gt, ef, k,
     blo = jnp.asarray(base_lo, dtype=sdt)
     bfull = jnp.asarray(base_full)
     gj = jnp.asarray(graph)
-    entries = default_entry_ids(base_lo.shape[0], min(num_entries, ef))
+    if centroid_entries > 0:
+        from gbnns_tpu.search.entries import CentroidEntries
+
+        ce = CentroidEntries.build(base_lo, ncent=centroid_entries,
+                                   metric=metric)
+        entries = ce.query_entries(np.asarray(query_lo, np.float32),
+                                   min(num_entries, ef))
+    else:
+        entries = default_entry_ids(base_lo.shape[0], min(num_entries, ef))
     pv = psq = payload = None
     if walker == "pallas":
         from gbnns_tpu.search.walker_pallas import pack_hop_payload
@@ -268,7 +276,8 @@ def cmd_search(args):
                              args.max_hops, args.visited_mode,
                              expand=args.expand, dtype=args.dtype,
                              batch_size=args.batch_size, packed=args.packed,
-                             walker=args.walker)
+                             walker=args.walker,
+                             centroid_entries=args.centroid_entries)
     print(json.dumps(r.to_json(), indent=2))
     if args.out:
         write_ivecs(args.out, ids)
@@ -290,7 +299,8 @@ def cmd_sweep(args):
                                args.max_hops, args.visited_mode,
                                expand=args.expand, dtype=args.dtype,
                                batch_size=args.batch_size, packed=args.packed,
-                               walker=args.walker)
+                               walker=args.walker,
+                               centroid_entries=args.centroid_entries)
         return r
 
     sweep(run_one, efs, out_path=args.out)
@@ -423,6 +433,10 @@ def main(argv=None):
                         choices=["jax", "pallas"],
                         help="graph-walk hop backend: pure-XLA gathers or "
                              "the Pallas DMA-gather kernel")
+        sp.add_argument("--centroid-entries", type=int, default=0,
+                        dest="centroid_entries",
+                        help=">0: per-query k-means entry points "
+                             "(value = number of centroids)")
         sp.add_argument("--n-devices", type=int, default=None,
                         dest="n_devices",
                         help=">1: shard base+graph over an ICI mesh "

@@ -65,6 +65,8 @@ class SearchConfig:
     dtype: str = "float32"         # search-space storage: float32 | bfloat16
     batch_size: int = 0            # 0 = whole query set in one device batch
     packed: bool = False           # walker: inline (K,d) neighbor rows (pack_neighbors)
+    walker: str = "jax"            # graph hop backend: "jax" | "pallas" (DMA payload)
+    centroid_entries: int = 0      # >0: per-query k-means entry points (ncent)
 
 
 @dataclasses.dataclass

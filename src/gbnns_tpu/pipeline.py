@@ -145,7 +145,9 @@ def run_pipeline(cfg: ExperimentConfig) -> dict[str, Any]:
                                expand=cfg.search.expand,
                                dtype=cfg.search.dtype,
                                batch_size=cfg.search.batch_size,
-                               packed=cfg.search.packed)
+                               packed=cfg.search.packed,
+                               walker=cfg.search.walker,
+                               centroid_entries=cfg.search.centroid_entries)
             return r
         results = sweep(run_one, list(cfg.search.efs))
 

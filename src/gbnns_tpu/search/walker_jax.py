@@ -161,7 +161,9 @@ def beam_search(queries, base, graph, entry_ids, *, ef: int,
                 packed_sqnorms: jax.Array | None = None) -> SearchResult:
     """Lockstep beam search of ``queries (B,d)`` over ``graph (n,K)`` with
     vectors ``base (n,d)`` (search space — typically the reduced-dim
-    projection). ``entry_ids (E,)`` are shared entry points (E <= ef).
+    projection). ``entry_ids`` are the walk's start nodes, either shared
+    ``(E,)`` or per-query ``(B, E)`` (e.g. from entries.CentroidEntries);
+    E <= ef.
 
     Greedy search is the ``ef=1``-pool limit; the reference's recall knob is
     this same ``ef`` (SURVEY §4.3 "ef sweep").
@@ -191,7 +193,7 @@ def beam_search(queries, base, graph, entry_ids, *, ef: int,
         raise ValueError(f"unknown visited_mode {visited_mode!r}")
     B, d = queries.shape
     n, K = graph.shape
-    E = entry_ids.shape[0]
+    E = entry_ids.shape[-1]
     if E > ef:
         raise ValueError(f"entry count {E} > ef {ef}")
     M = max(1, min(expand, ef))
@@ -202,13 +204,19 @@ def beam_search(queries, base, graph, entry_ids, *, ef: int,
     graph = graph.astype(jnp.int32)
 
     # ---- init: evaluate entry points, seed the pool -------------------
-    entry_vecs = jnp.broadcast_to(base[entry_ids], (B, E, d))
-    entry_sq = jnp.broadcast_to(x_sq[entry_ids][None, :], (B, E))
+    # entry_ids (E,) = shared entries; (B, E) = per-query entries
+    if entry_ids.ndim == 2:
+        e_ids = entry_ids.astype(jnp.int32)                     # (B, E)
+        entry_vecs = base[e_ids]
+        entry_sq = x_sq[e_ids]
+    else:
+        e_ids = jnp.broadcast_to(entry_ids[None, :].astype(jnp.int32), (B, E))
+        entry_vecs = jnp.broadcast_to(base[entry_ids], (B, E, d))
+        entry_sq = jnp.broadcast_to(x_sq[entry_ids][None, :], (B, E))
     e_dists = _batched_dists(qf, entry_vecs, entry_sq, q_sq, metric,
                              precision=precision)  # (B,E)
     pad = ef - E
-    beam_ids = jnp.pad(jnp.broadcast_to(entry_ids[None, :].astype(jnp.int32), (B, E)),
-                       ((0, 0), (0, pad)), constant_values=-1)
+    beam_ids = jnp.pad(e_ids, ((0, 0), (0, pad)), constant_values=-1)
     beam_d = jnp.pad(e_dists, ((0, 0), (0, pad)), constant_values=jnp.inf)
     order = jnp.argsort(beam_d, axis=1)
     beam_ids = jnp.take_along_axis(beam_ids, order, axis=1)

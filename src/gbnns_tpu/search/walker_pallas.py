@@ -168,7 +168,7 @@ def _beam_search_payload(queries, payload_data, base_lo, entry_ids, *,
                          K: int, d: int, vec_words: int, bf16: bool,
                          interpret: bool) -> SearchResult:
     B = queries.shape[0]
-    E = entry_ids.shape[0]
+    E = entry_ids.shape[-1]
     if E > ef:
         raise ValueError(f"entry count {E} > ef {ef}")
     M = max(1, min(expand, ef))
@@ -176,15 +176,20 @@ def _beam_search_payload(queries, payload_data, base_lo, entry_ids, *,
     qf = queries.astype(jnp.float32)
     q_sq = squared_norms(qf)
 
-    # ---- seed the pool with the shared entry points --------------------
-    e_vecs = jnp.broadcast_to(base_lo[entry_ids].astype(jnp.float32),
-                              (B, E, d))
-    e_sq = jnp.broadcast_to(squared_norms(base_lo[entry_ids])[None, :], (B, E))
+    # ---- seed the pool with shared (E,) or per-query (B, E) entries ----
+    base_f32 = base_lo.astype(jnp.float32)
+    if entry_ids.ndim == 2:
+        e_ids = entry_ids.astype(jnp.int32)
+        e_vecs = base_f32[e_ids]
+        e_sq = squared_norms(e_vecs)
+    else:
+        e_ids = jnp.broadcast_to(entry_ids[None, :].astype(jnp.int32), (B, E))
+        e_vecs = jnp.broadcast_to(base_f32[entry_ids], (B, E, d))
+        e_sq = jnp.broadcast_to(squared_norms(base_f32[entry_ids])[None, :],
+                                (B, E))
     e_d = _batched_dists(qf, e_vecs, e_sq, q_sq, metric, precision=precision)
     pad = ef - E
-    beam_ids = jnp.pad(
-        jnp.broadcast_to(entry_ids[None, :].astype(jnp.int32), (B, E)),
-        ((0, 0), (0, pad)), constant_values=-1)
+    beam_ids = jnp.pad(e_ids, ((0, 0), (0, pad)), constant_values=-1)
     beam_d = jnp.pad(e_d, ((0, 0), (0, pad)), constant_values=jnp.inf)
     order = jnp.argsort(beam_d, axis=1)
     beam_ids = jnp.take_along_axis(beam_ids, order, axis=1)

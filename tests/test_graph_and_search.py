@@ -118,3 +118,51 @@ def test_rerank_excludes_invalid_and_dups():
     ids, dists = rerank(jnp.asarray(q), jnp.asarray(base), jnp.asarray(cand), 2)
     assert np.asarray(ids)[0, 0] == 1
     assert np.asarray(ids)[0, 1] == 3  # duplicate of 1 must not fill slot 2
+
+
+def test_per_query_centroid_entries(fixture_data, fixture_gt):
+    """(B, E) entry ids (entries.CentroidEntries) seed the walk per query
+    and must not lose recall vs shared strided entries."""
+    import jax.numpy as jnp
+    from gbnns_tpu.build.knn_graph import build_knn_graph
+    from gbnns_tpu.search.entries import CentroidEntries
+    from gbnns_tpu.search.rerank import rerank
+    from gbnns_tpu.search.walker_jax import beam_search
+    from gbnns_tpu.eval.recall import recall_at_k
+
+    base, query = fixture_data
+    graph = build_knn_graph(base, 8, chunk=1024, node_chunk=1024)
+    ce = CentroidEntries.build(base, ncent=64, seed=0)
+    ent = ce.query_entries(query, 8)
+    assert ent.shape == (query.shape[0], 8)
+    res = beam_search(jnp.asarray(query), jnp.asarray(base),
+                      jnp.asarray(graph), ent, ef=32, max_hops=64)
+    ids, _ = rerank(jnp.asarray(query), jnp.asarray(base), res.ids, 10)
+    r10 = recall_at_k(np.asarray(ids), fixture_gt, 10)
+    assert r10 > 0.9
+
+    # pallas walker accepts the same per-query entries
+    from gbnns_tpu.search.walker_pallas import (beam_search_pallas,
+                                                pack_hop_payload)
+    payload = pack_hop_payload(graph, base, vec_dtype="float32")
+    res2 = beam_search_pallas(query, payload, base, ent, ef=32, max_hops=64)
+    np.testing.assert_array_equal(np.asarray(res2.ids), np.asarray(res.ids))
+
+
+def test_graph_index_end_to_end(fixture_data, fixture_gt):
+    """GraphIndex: graph + DMA payload + centroid entries + re-rank."""
+    from gbnns_tpu.search.graph_index import GraphIndex
+    from gbnns_tpu.eval.recall import recall_at_k
+
+    base, query = fixture_data
+    idx = GraphIndex.build(base, K=8, ncent=64,
+                           build_kwargs=dict(chunk=1024, node_chunk=1024))
+    ids, dists = idx.search(query, k=10, ef=32, num_entries=8, max_hops=64)
+    assert recall_at_k(np.asarray(ids), fixture_gt, 10) > 0.9
+    d = np.asarray(dists)
+    assert (np.diff(d, axis=1) >= -1e-5).all()
+
+    # no-centroid fallback
+    idx2 = GraphIndex.build(base, K=8, ncent=None, graph=idx.graph)
+    ids2, _ = idx2.search(query, k=10, ef=32, max_hops=64)
+    assert recall_at_k(np.asarray(ids2), fixture_gt, 10) > 0.85
