@@ -65,7 +65,19 @@ class SearchService:
 
         self.flat = FlatIndex(base, base_lo, metric=metric)
         self.graph = None
-        if engine == "graph":
+        self.gidx = None
+        if engine == "graph_pallas":
+            # the DMA-payload walker + centroid entries (the fast graph path,
+            # results/walker_ab_1m.json); reuses the staged graph artifact
+            if graph is None:
+                raise ValueError("engine='graph_pallas' requires a graph artifact")
+            from gbnns_tpu.search.graph_index import GraphIndex
+
+            self.gidx = GraphIndex.build(
+                base, base_lo, metric=metric,
+                ncent=max(64, min(4096, np.asarray(base).shape[0] // 256)),
+                graph=np.asarray(graph, np.int32))
+        elif engine == "graph":
             if graph is None:
                 raise ValueError("engine='graph' requires a graph artifact")
             from gbnns_tpu.search.walker_jax import default_entry_ids
@@ -148,6 +160,10 @@ class SearchService:
     def _search(self, queries, queries_lo, k):
         if queries_lo is None and self.projection is not None:
             queries_lo = self.projection(queries)
+        if self.engine == "graph_pallas":
+            return self.gidx.search(queries, queries_lo, k=k,
+                                    ef=max(self.ef, k),
+                                    num_entries=min(16, max(self.ef, k)))
         if self.engine == "graph":
             from gbnns_tpu.search.rerank import rerank
             from gbnns_tpu.search.walker_jax import beam_search

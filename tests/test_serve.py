@@ -100,3 +100,21 @@ def test_graph_engine_service(fixture_data, fixture_gt):
         assert hits >= 0.7, hits
     finally:
         svc.stop()
+
+
+def test_serve_graph_pallas_engine(fixture_data, fixture_gt):
+    """graph_pallas engine: DMA-payload walker behind the HTTP service."""
+    from gbnns_tpu.build.knn_graph import build_knn_graph
+    from gbnns_tpu.serve import SearchService
+    from gbnns_tpu.eval.recall import recall_at_k
+
+    base, query = fixture_data
+    graph = build_knn_graph(base, 8, chunk=1024, node_chunk=1024)
+    svc = SearchService(base, graph=graph, engine="graph_pallas", ef=32)
+    try:
+        ids, dists = svc.submit(query[:32], None, 10)
+        assert ids.shape == (32, 10)
+        r10 = recall_at_k(np.asarray(ids), fixture_gt[:32], 10)
+        assert r10 > 0.85
+    finally:
+        svc.stop()
