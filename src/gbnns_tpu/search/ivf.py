@@ -80,9 +80,12 @@ def ivf_search(q_lo, q_full, centroids, cent_sq, block_ids, blocks_lo,
     qf32 = q_lo.astype(jnp.float32)
 
     # ---- stage A: choose each query's probe clusters ---------------------
+    # approx_max_k, not top_k: exact cluster ranking buys nothing (probing
+    # is a coverage heuristic) and lax.top_k over thousands of centroids is
+    # a full per-row sort — measured 37 ms vs ~5 ms at B=16k/ncent=4k.
     cd = pairwise_dists(qf32, centroids, metric=metric, x_sqnorms=cent_sq,
                         precision="default")                   # (B, ncent)
-    _, probe_cl = jax.lax.top_k(-cd, p)                        # (B, p) sorted
+    _, probe_cl = jax.lax.approx_max_k(-cd, p, recall_target=0.95)
     cl = probe_cl.reshape(B * p).astype(jnp.int32)
     qi = jnp.repeat(jnp.arange(B, dtype=jnp.int32), p)
     rank = jnp.tile(jnp.arange(p, dtype=jnp.int32), B)
@@ -101,14 +104,17 @@ def ivf_search(q_lo, q_full, centroids, cent_sq, block_ids, blocks_lo,
     grid = ncent * Qc
     g = jnp.where(keep, cl_s * Qc + slot, grid)                # sentinel=grid
 
-    # occupancy table (ncent, Qc) via sorted-membership, not scatter
-    order_g = jnp.argsort(g)
-    g2 = jnp.concatenate([g[order_g], jnp.full((1,), grid, jnp.int32)])
-    qi2 = jnp.concatenate([qi_s[order_g], jnp.zeros((1,), jnp.int32)])
+    # occupancy table (ncent, Qc) via sorted-membership, not scatter — and
+    # WITHOUT a second argsort (measured 188 ms for the two-sort bucketing
+    # at B=16k): clamping overflow slots to their cluster's last kept slot
+    # id keeps the sequence sorted (kept g ascends within a run, runs
+    # ascend, and equal keys keep kept-before-dropped order), so stable
+    # searchsorted's first hit per slot id is the true occupant.
+    g_occ = jnp.where(keep, g, cl_s * Qc + (Qc - 1))
     o = jnp.arange(grid, dtype=jnp.int32)
-    j = jnp.searchsorted(g2[:-1], o)
-    hit = g2[j] == o
-    q_of_slot = jnp.where(hit, qi2[j], 0).reshape(ncent, Qc)   # garbage rows
+    j = jnp.minimum(jnp.searchsorted(g_occ, o), B * p - 1)
+    hit = g_occ[j] == o
+    q_of_slot = jnp.where(hit, qi_s[j], 0).reshape(ncent, Qc)  # garbage rows
     # for unfilled slots are never read back (no pair points at them)
 
     # ---- stage B: per-cluster batched scan -------------------------------
@@ -124,18 +130,25 @@ def ivf_search(q_lo, q_full, centroids, cent_sq, block_ids, blocks_lo,
         dist = -dots
     dist = jnp.where(block_ids[:, None, :] < 0, _INF, dist)
     nd, pos = jax.lax.approx_max_k(-dist, cp, recall_target=0.95)
-    slot_ids = jnp.take_along_axis(
-        jnp.broadcast_to(block_ids[:, None, :], (ncent, Qc, cap)), pos, axis=2)
+    # per-cluster id lookup batched over the cluster axis — a vmap'd gather
+    # instead of broadcasting block_ids to (ncent, Qc, cap), a 2 GB HBM
+    # materialization at 1M/16k that dominated the route stage (SURVEY §9)
+    slot_ids = jax.vmap(lambda bi, po: bi[po])(
+        block_ids, pos.reshape(ncent, Qc * cp)).reshape(ncent, Qc, cp)
     # flatten + one padding row for dropped pairs (g == grid)
     flat_d = jnp.concatenate(
         [(-nd).reshape(grid, cp), jnp.full((1, cp), _INF)], axis=0)
     flat_i = jnp.concatenate(
         [slot_ids.reshape(grid, cp), jnp.full((1, cp), -1, jnp.int32)], axis=0)
 
-    # ---- route candidates back to their queries (inverse of the sort) ----
+    # ---- route candidates back to their queries --------------------------
+    # one composed gather per array: flat[g][inv] == flat[g[inv]]; g[inv]
+    # is a cheap int gather, then each pair row is fetched once (the
+    # two-chained-row-gather form measured 685 ms at B=16k)
     inv = jnp.argsort(perm)
-    pair_d = jnp.take(flat_d, g, axis=0)[inv].reshape(B, p * cp)
-    pair_i = jnp.take(flat_i, g, axis=0)[inv].reshape(B, p * cp)
+    g_r = jnp.take(g, inv, axis=0)
+    pair_d = jnp.take(flat_d, g_r, axis=0).reshape(B, p * cp)
+    pair_i = jnp.take(flat_i, g_r, axis=0).reshape(B, p * cp)
 
     # ---- spill rows: overflow beyond cluster capacity, always scanned ----
     sdots = jax.lax.dot_general(
