@@ -22,6 +22,10 @@ class GraphConfig:
     recall_target: float = 0.99    # for exact=False (approx_max_k)
     connect: bool = True           # directed-reachability repair
     precision: str | None = None   # None => "highest" when exact
+    # Distance-sweep backend: "xla" (exact/approx_max_k streaming scan),
+    # "fused" (binned Pallas scan, ~8x faster approx build), "pallas"
+    # (VMEM-resident exact distance+top-k kernel).
+    backend: str = "xla"
     # Which vectors the graph is built over. "full" encodes true
     # neighborhoods (reference behavior); "reduced" builds in the walk's own
     # projected geometry so every edge is locally greedy *in the space the

@@ -101,7 +101,8 @@ def build_graph(cfg: ExperimentConfig, base, base_lo=None):
     graph = build_knn_graph(vectors, g.k, metric=cfg.metric, chunk=g.chunk,
                             node_chunk=g.node_chunk, exact=g.exact,
                             recall_target=g.recall_target,
-                            precision=g.precision, connect=g.connect)
+                            precision=g.precision, connect=g.connect,
+                            backend=g.backend)
     return graph, time.perf_counter() - t0
 
 

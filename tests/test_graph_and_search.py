@@ -166,3 +166,30 @@ def test_graph_index_end_to_end(fixture_data, fixture_gt):
     idx2 = GraphIndex.build(base, K=8, ncent=None, graph=idx.graph)
     ids2, _ = idx2.search(query, k=10, ef=32, max_hops=64)
     assert recall_at_k(np.asarray(ids2), fixture_gt, 10) > 0.85
+
+
+def test_fused_backend_graph_build(fixture_data, fixture_gt):
+    """backend='fused' (binned Pallas scan) builds a near-exact graph that
+    the walker searches at full recall."""
+    import jax.numpy as jnp
+    from gbnns_tpu.build.knn_graph import build_knn_graph
+    from gbnns_tpu.search.rerank import rerank
+    from gbnns_tpu.search.walker_jax import beam_search, default_entry_ids
+    from gbnns_tpu.eval.recall import recall_at_k
+
+    base, query = fixture_data
+    g_exact = build_knn_graph(base, 8, chunk=1024, node_chunk=1024)
+    g_fused = build_knn_graph(base, 8, backend="fused", node_chunk=1024)
+    assert g_fused.shape == g_exact.shape
+    # per-node edge overlap with the exact graph (bin collisions lose a
+    # little; symmetrization/repair shuffles rows, so compare as sets)
+    overlap = np.mean([
+        len(np.intersect1d(g_fused[i], g_exact[i])) / g_exact.shape[1]
+        for i in range(0, 2048, 64)])
+    assert overlap > 0.6
+
+    entries = default_entry_ids(base.shape[0], 16)
+    res = beam_search(jnp.asarray(query), jnp.asarray(base),
+                      jnp.asarray(g_fused), entries, ef=32, max_hops=64)
+    ids, _ = rerank(jnp.asarray(query), jnp.asarray(base), res.ids, 10)
+    assert recall_at_k(np.asarray(ids), fixture_gt, 10) > 0.9
