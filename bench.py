@@ -130,9 +130,10 @@ def main():
     fused = FusedScanIndex(base, base_lo)
     fused_build = time.perf_counter() - t0
     for c in (16, 32, 64):
-        qps, r1, r10 = timed(lambda c=c: fused.search(q_j, qlo_j, k=10, c=c))
+        qps, r1, r10 = timed(lambda c=c: fused.search(q_j, qlo_j, k=10, c=c,
+                                                      merge="approx"))
         log(f"  fused c={c:3d} R@1={r1:.4f} R@10={r10:.4f} QPS={qps:,.0f}")
-        consider("fused", dict(c=c), qps, r1, r10)
+        consider("fused", dict(c=c, merge="approx"), qps, r1, r10)
         if r10 >= 0.995:
             break
 
