@@ -167,8 +167,10 @@ def main():
         from gbnns_tpu.search.graph_index import GraphIndex
 
         t0 = time.perf_counter()
-        gidx = GraphIndex.build(base, base_lo, K=K,
-                                ncent=max(64, min(4096, n // 256)))
+        gidx = GraphIndex.build(
+            base, base_lo, K=K, ncent=max(64, min(4096, n // 256)),
+            # binned-scan build: 116s vs 384s at 1M, walker recall unchanged
+            build_kwargs=dict(backend="fused") if n > 300_000 else None)
         build_time = time.perf_counter() - t0
         log(f"  graph build (reduced space + payload + centroids): "
             f"{build_time:.1f}s")
