@@ -14,6 +14,15 @@ tiles.
 
 Grid: (q_blocks, x_tiles), x fastest — scratch (running top-k) persists
 across the x sweep of one q block and resets when the q block changes.
+
+
+STATUS (round 2): superseded as the fast approximate build path by the
+binned scan (`kernels/scan_topk_pallas.binned_scan`, wired as
+``build_knn_graph(backend="fused")`` — 1M build 116 s vs 384 s exact with
+unchanged walker recall). This kernel remains the VMEM-resident EXACT
+fused sweep, useful for large-k exact top-k where approx bin winners
+cannot be re-ranked; at k=32 it measured ~3x slower than the XLA
+approx path (SURVEY §8.2.4).
 """
 
 from __future__ import annotations

@@ -175,3 +175,22 @@ def test_pipeline_neg_ranks(tmp_path):
     assert cfg.dimred.neg_ranks == (10, 40)
     out = run_pipeline(cfg)
     assert out["summary"]["results"][0]["recall_at_10"] > 0.7
+
+
+def test_pipeline_pallas_walker(tmp_path):
+    """search.walker='pallas' + centroid entries through the pipeline
+    (the round-2 graph-engine recipe, CPU-interpreted)."""
+    cfg = ExperimentConfig.from_json({
+        "name": "fixture_pallas", "dataset": "fixture",
+        "out_dir": str(tmp_path),
+        "graph": {"k": 8, "chunk": 1024, "node_chunk": 1024,
+                  "space": "reduced", "backend": "fused"},
+        "dimred": {"method": "pca", "d_out": 8},
+        "search": {"k": 10, "efs": [32], "num_entries": 8,
+                   "walker": "pallas", "centroid_entries": 64,
+                   "max_hops": 64},
+    })
+    out = run_pipeline(cfg)
+    r = out["summary"]["results"][0]
+    assert r["recall_at_10"] > 0.85
+    assert r["extra"]["walker"] == "pallas"
