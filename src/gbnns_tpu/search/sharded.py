@@ -133,7 +133,7 @@ def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
     whenever the index was built with a reduced ``base_lo`` so the re-rank
     gets the original-dimension vectors.
     """
-    if engine not in ("graph", "flat"):
+    if engine not in ("graph", "flat", "fused"):
         raise ValueError(f"unknown engine {engine!r}")
     if engine == "graph" and index.graph.shape[-1] == 0:
         raise ValueError("index was built with with_graph=False; "
@@ -154,9 +154,40 @@ def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
         return ids, dists
     entry = default_entry_ids(index.n_shard, min(num_entries, ef))
 
+    # fused engine: static per-shard binned-scan geometry (shapes must be
+    # chosen at trace time; the shard size is known from the index)
+    if engine == "fused":
+        n_shard = index.n_shard
+        f_chunk = min(16384, max(128, 1 << (n_shard - 1).bit_length()))
+        f_bin = max(8, min(1024, f_chunk // max(8, ef)))
+        while f_chunk % f_bin:
+            f_bin //= 2
+        f_pad = -(-n_shard // f_chunk) * f_chunk
+        import jax as _jax
+        f_interp = _jax.default_backend() != "tpu"
+
     def per_shard(q, q_full, base_lo, base_full, graph):
         base_lo, base_full, graph = base_lo[0], base_full[0], graph[0]
-        if engine == "flat":
+        if engine == "fused":
+            # per-shard fused Pallas binned scan (the single-chip flagship
+            # engine, sharded): scores never leave VMEM; only the shard's
+            # top-ef candidates are re-ranked and merged over ICI
+            from gbnns_tpu.kernels.scan_topk_pallas import binned_scan
+
+            sq = jnp.sum(base_lo * base_lo, axis=-1)
+            pad = f_pad - base_lo.shape[0]
+            x_pad = jnp.pad(base_lo, ((0, pad), (0, 0))).astype(jnp.bfloat16)
+            add = jnp.pad(sq if metric == "l2" else jnp.zeros_like(sq),
+                          ((0, pad),), constant_values=jnp.inf)
+            vals, vids = binned_scan(q, x_pad, add, metric=metric,
+                                     bin_size=f_bin, chunk=f_chunk,
+                                     tq=min(512, q.shape[0]),
+                                     interpret=f_interp)
+            cc = min(ef, vals.shape[1])
+            _, sel = jax.lax.top_k(-vals, cc)
+            cand = jnp.take_along_axis(vids, sel, axis=1)
+            ids, dists = rerank(q_full, base_full, cand, k, metric=rr_metric)
+        elif engine == "flat":
             from gbnns_tpu.kernels.topk import knn_chunked
             _, cand = knn_chunked(q, base_lo, ef, metric=metric,
                                   chunk=65536, exact=False,

@@ -95,3 +95,23 @@ def test_sharded_with_projection(fixture_data, fixture_gt, mesh8):
     # missing queries_full must fail loudly, not silently mis-rank
     with pytest.raises(ValueError):
         sharded_search(idx, qlo, 10, ef=64)
+
+
+def test_sharded_fused_engine(fixture_data, fixture_gt):
+    """engine='fused': per-shard Pallas binned scan + ICI all_gather merge
+    (the single-chip flagship engine, sharded)."""
+    from gbnns_tpu.search.sharded import (build_sharded_index, make_mesh,
+                                          sharded_search)
+    from gbnns_tpu.eval.recall import recall_at_k
+
+    base, query = fixture_data
+    mesh = make_mesh(8)
+    idx = build_sharded_index(base, 8, mesh, with_graph=False)
+    ids, dists = sharded_search(idx, query, 10, ef=64, engine="fused")
+    ids = np.asarray(ids)
+    assert ids.shape == (query.shape[0], 10)
+    assert ids.max() < base.shape[0]
+    r10 = recall_at_k(ids, fixture_gt, 10)
+    assert r10 > 0.85
+    d = np.asarray(dists)
+    assert (np.diff(d, axis=1) >= -1e-5).all()
