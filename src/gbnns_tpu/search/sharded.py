@@ -163,8 +163,7 @@ def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
         while f_chunk % f_bin:
             f_bin //= 2
         f_pad = -(-n_shard // f_chunk) * f_chunk
-        import jax as _jax
-        f_interp = _jax.default_backend() != "tpu"
+        f_interp = jax.default_backend() != "tpu"
 
     def per_shard(q, q_full, base_lo, base_full, graph):
         base_lo, base_full, graph = base_lo[0], base_full[0], graph[0]
