@@ -330,8 +330,10 @@ class FusedScanIndex:
 
     def __init__(self, base_full, base_lo=None, *, metric: str = "l2",
                  scan_dtype=jnp.bfloat16, bin_size: int = 1024,
-                 chunk: int = 16384, tq: int = 512, packed: bool = True,
+                 chunk: int = 16384, tq: int = 1024, packed: bool = True,
                  mode: str = "binned"):
+        # tq=1024 measured +2.5% over 512 at 1M (fewer corpus reloads:
+        # b_tiles halves); chunk>16384 exceeds the 16MB VMEM budget.
         self.packed = packed
         if metric not in ("l2", "ip", "angular"):
             raise ValueError(f"unknown metric {metric!r}")
