@@ -42,7 +42,7 @@ def _round_up(a: int, m: int) -> int:
 
 
 def _scan_kernel(q_ref, x_ref, add_ref, val_ref, idx_ref, *, n_bins_c: int,
-                 bin_size: int, l2: bool, packed: bool):
+                 bin_size: int, l2: bool, packed: bool, prescaled: bool):
     """One (corpus-chunk, query-tile) cell: bin-reduced scores.
 
     Scores are computed transposed — (BIN, TQ), corpus rows on sublanes —
@@ -75,7 +75,13 @@ def _scan_kernel(q_ref, x_ref, add_ref, val_ref, idx_ref, *, n_bins_c: int,
             xb, q, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # (BIN, TQ)
         addb = add_ref[0, b * bin_size:(b + 1) * bin_size]
-        if l2:
+        if prescaled:
+            # corpus stored as -2x (l2) / -x (ip): the scale rides in the
+            # matmul (an exact bf16 exponent shift), saving one VPU pass
+            # over every score — the selection epilogue is this kernel's
+            # cost ceiling (SURVEY §9)
+            scores = addb[:, None] + dots
+        elif l2:
             scores = addb[:, None] - 2.0 * dots
         else:
             scores = addb[:, None] - dots
@@ -261,11 +267,11 @@ def shifted_scan(q_aug, x_aug, *, bin_size: int = 1024, chunk: int = 16384,
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "bin_size", "chunk", "tq", "interpret",
-                     "packed"),
+                     "packed", "prescaled"),
 )
 def binned_scan(q, x, addvec, *, metric: str = "l2", bin_size: int = 1024,
                 chunk: int = 16384, tq: int = 512, interpret: bool = False,
-                packed: bool = True):
+                packed: bool = True, prescaled: bool = False):
     """Bin winners of the full scan: ``(vals (B, n_bins) f32, ids int32)``.
 
     q (B, d) — cast to x.dtype inside; x (n_pad, d) with n_pad a multiple
@@ -286,7 +292,7 @@ def binned_scan(q, x, addvec, *, metric: str = "l2", bin_size: int = 1024,
         raise ValueError("packed selection needs power-of-two bin_size")
     kernel = functools.partial(_scan_kernel, n_bins_c=n_bins_c,
                                bin_size=bin_size, l2=metric == "l2",
-                               packed=packed)
+                               packed=packed, prescaled=prescaled)
     grid = (n_chunks, b_tiles)
     vals, ids = pl.pallas_call(
         kernel,
@@ -359,10 +365,14 @@ class FusedScanIndex:
             if metric == "l2":
                 add = (lo_pad ** 2).sum(-1)
                 add[n:] = np.inf
+                scale = -2.0
             else:
                 add = np.zeros(n_pad, np.float32)
                 add[n:] = np.inf
-            self.x_lo = jnp.asarray(lo_pad, dtype=scan_dtype)
+                scale = -1.0
+            # prescaled storage: the -2x/-x factor is exact in bf16
+            # (exponent shift + sign), see _scan_kernel prescaled
+            self.x_lo = jnp.asarray(scale * lo_pad, dtype=scan_dtype)
             self.addvec = jnp.asarray(add)
         self.base_full = jnp.asarray(base_full)
         self.base_sq = jnp.sum(self.base_full * self.base_full, axis=-1)
@@ -390,7 +400,7 @@ class FusedScanIndex:
                                     metric=self.metric, bin_size=self.bin_size,
                                     chunk=self.chunk, tq=self.tq,
                                     interpret=self.interpret,
-                                    packed=self.packed)
+                                    packed=self.packed, prescaled=True)
         cc = min(c, vals.shape[1])
         if merge == "approx" and not self.interpret:
             _, sel = jax.lax.approx_max_k(-vals, cc, recall_target=0.95)

@@ -142,3 +142,17 @@ def test_shifted_index_angular(fixture_data, fixture_gt):
     d2 = -(qn @ bn.T)
     gt = np.argsort(d2, axis=1, kind="stable")[:, :10].astype(np.int32)
     assert recall_at_k(np.asarray(ids), gt, 10) > 0.9
+
+
+def test_prescaled_matches_unscaled():
+    """prescaled=True with -2x corpus == the plain l2 path (same winners)."""
+    x, q = _mk(seed=5)
+    add = (x ** 2).sum(-1).astype(np.float32)
+    kw = dict(bin_size=128, chunk=1024, tq=64, interpret=True)
+    v0, i0 = binned_scan(jnp.asarray(q), jnp.asarray(x, jnp.bfloat16),
+                         jnp.asarray(add), **kw)
+    v1, i1 = binned_scan(jnp.asarray(q), jnp.asarray(-2.0 * x, jnp.bfloat16),
+                         jnp.asarray(add), prescaled=True, **kw)
+    assert (np.asarray(i0) == np.asarray(i1)).mean() > 0.995
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-3,
+                               atol=1e-3)
