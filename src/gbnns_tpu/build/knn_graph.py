@@ -141,7 +141,8 @@ def _build_fused(base, K: int, *, metric: str, node_chunk: int = 16384,
     else:
         add = np.zeros(n_pad, np.float32)
         add[n:] = np.inf
-    x_j = jnp.asarray(lo_pad, jnp.bfloat16)
+    scale = -2.0 if metric == "l2" else -1.0
+    x_j = jnp.asarray(scale * lo_pad, jnp.bfloat16)  # prescaled (exact shift)
     add_j = jnp.asarray(add)
     interpret = jax.default_backend() != "tpu"
     parts = []
@@ -151,7 +152,7 @@ def _build_fused(base, K: int, *, metric: str, node_chunk: int = 16384,
         vals, ids = binned_scan(jnp.asarray(base[off:hi]), x_j, add_j,
                                 metric=metric, bin_size=bin_size,
                                 chunk=chunk, tq=min(512, node_chunk),
-                                interpret=interpret)
+                                interpret=interpret, prescaled=True)
         kk = min(K + 1, vals.shape[1])
         _, sel = jax.lax.top_k(-vals, kk)
         parts.append(np.asarray(jnp.take_along_axis(ids, sel, axis=1)))

@@ -175,13 +175,16 @@ def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
 
             sq = jnp.sum(base_lo * base_lo, axis=-1)
             pad = f_pad - base_lo.shape[0]
-            x_pad = jnp.pad(base_lo, ((0, pad), (0, 0))).astype(jnp.bfloat16)
+            scale = -2.0 if metric == "l2" else -1.0   # prescaled corpus:
+            # the distance scale rides in the matmul (exact bf16 shift)
+            x_pad = jnp.pad(scale * base_lo,
+                            ((0, pad), (0, 0))).astype(jnp.bfloat16)
             add = jnp.pad(sq if metric == "l2" else jnp.zeros_like(sq),
                           ((0, pad),), constant_values=jnp.inf)
             vals, vids = binned_scan(q, x_pad, add, metric=metric,
                                      bin_size=f_bin, chunk=f_chunk,
                                      tq=min(512, q.shape[0]),
-                                     interpret=f_interp)
+                                     interpret=f_interp, prescaled=True)
             cc = min(ef, vals.shape[1])
             _, sel = jax.lax.top_k(-vals, cc)
             cand = jnp.take_along_axis(vids, sel, axis=1)
