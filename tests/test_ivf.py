@@ -97,3 +97,32 @@ def test_ivf_angular_metric():
     idx = IVFIndex.build(base, metric="angular", ncent=16, iters=4, seed=0)
     ids, _ = idx.search(query, k=10, c=64, probes=16)
     assert recall_at_k(np.asarray(ids), gt, 10) > 0.95
+
+
+def test_ivf_bucket_overflow_graceful(fixture_data, fixture_gt):
+    """Skewed probe load: force bucket overflow (tiny slack) and verify
+    dropped pairs surface as padding — never another query's candidates —
+    and recall degrades gracefully rather than corrupting results."""
+    base, query = fixture_data
+    idx = IVFIndex.build(base, ncent=16, iters=4, seed=0)
+    # slack=0.25 makes qslots ~1/8 of the mean load: most pairs drop
+    ids_tight, d_tight = idx.search(query, k=10, probes=8, c=32, slack=0.25)
+    ids_tight = np.asarray(ids_tight)
+    # all returned ids are valid rows or -1 padding
+    assert ids_tight.max() < base.shape[0]
+    assert (ids_tight >= -1).all()
+    # with full slack the same search must reach normal recall
+    ids_ok, _ = idx.search(query, k=10, probes=8, c=32, slack=4.0)
+    from gbnns_tpu.eval.recall import recall_at_k
+    r_ok = recall_at_k(np.asarray(ids_ok), fixture_gt, 10)
+    r_tight = recall_at_k(ids_tight, fixture_gt, 10)
+    assert r_ok > 0.8
+    assert r_tight <= r_ok + 1e-9
+    # every non-padding id a tight-budget query returns must ALSO be a
+    # legitimate candidate of that query under full budget OR at least a
+    # row of a probed cluster — cheap sanity: results are a subset of the
+    # full-budget candidate universe per query for the overlapping top-k
+    both = [len(np.intersect1d(ids_tight[i][ids_tight[i] >= 0],
+                               np.asarray(ids_ok)[i]))
+            for i in range(0, len(query), 16)]
+    assert np.mean(both) > 0  # overlap exists; no systematic corruption
