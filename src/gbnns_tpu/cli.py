@@ -468,7 +468,7 @@ def main(argv=None):
     sp.add_argument("--base-lo", dest="base_lo")
     sp.add_argument("--graph")
     sp.add_argument("--proj", help="projection checkpoint (proj.npz) to project raw queries")
-    sp.add_argument("--engine", default="flat", choices=["flat", "graph", "graph_pallas"])
+    sp.add_argument("--engine", default="flat", choices=["flat", "fused", "graph", "graph_pallas"])
     sp.add_argument("--ef", type=int, default=64)
     sp.add_argument("--c", type=int, default=64)
     sp.add_argument("--port", type=int, default=8390)

@@ -66,7 +66,14 @@ class SearchService:
         self.flat = FlatIndex(base, base_lo, metric=metric)
         self.graph = None
         self.gidx = None
-        if engine == "graph_pallas":
+        self.fused = None
+        if engine == "fused":
+            # the headline engine (results/bench_1m_learned_r2.json):
+            # binned Pallas scan + exact re-rank; c is the recall knob
+            from gbnns_tpu.kernels.scan_topk_pallas import FusedScanIndex
+
+            self.fused = FusedScanIndex(base, base_lo, metric=metric)
+        elif engine == "graph_pallas":
             # the DMA-payload walker + centroid entries (the fast graph path,
             # results/walker_ab_1m.json); reuses the staged graph artifact
             if graph is None:
@@ -160,6 +167,9 @@ class SearchService:
     def _search(self, queries, queries_lo, k):
         if queries_lo is None and self.projection is not None:
             queries_lo = self.projection(queries)
+        if self.engine == "fused":
+            return self.fused.search(queries, queries_lo, k=k,
+                                     c=max(self.c, k), merge="approx")
         if self.engine == "graph_pallas":
             return self.gidx.search(queries, queries_lo, k=k,
                                     ef=max(self.ef, k),

@@ -118,3 +118,22 @@ def test_serve_graph_pallas_engine(fixture_data, fixture_gt):
         assert r10 > 0.85
     finally:
         svc.stop()
+
+
+def test_serve_fused_engine(fixture_data, fixture_gt):
+    """fused engine (the headline binned-scan path) behind the service."""
+    from gbnns_tpu.serve import SearchService
+    from gbnns_tpu.eval.recall import recall_at_k
+
+    base, query = fixture_data
+    svc = SearchService(base, engine="fused", c=64)
+    # small-corpus bin geometry: rebuild the index with test-sized tiles
+    from gbnns_tpu.kernels.scan_topk_pallas import FusedScanIndex
+    svc.fused = FusedScanIndex(base, bin_size=32, chunk=256, tq=64)
+    try:
+        ids, dists = svc.submit(query[:32], None, 10)
+        assert ids.shape == (32, 10)
+        r10 = recall_at_k(np.asarray(ids), fixture_gt[:32], 10)
+        assert r10 > 0.85
+    finally:
+        svc.stop()
