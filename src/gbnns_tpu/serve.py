@@ -99,6 +99,19 @@ class SearchService:
             self.entries = default_entry_ids(self.graph.shape[0],
                                              min(32, self.ef))
 
+        # Warm the engine before serving: the first search pays jit compile
+        # plus the relay round trip (>30 s for the Pallas engines at 1M),
+        # which would otherwise expire the first requests' submit timeout.
+        try:
+            d = np.asarray(base).shape[1]
+            dq = np.zeros((8, d), np.float32)
+            dlo = None
+            if base_lo is not None:
+                dlo = np.zeros((8, np.asarray(base_lo).shape[1]), np.float32)
+            self._search(dq, dlo, 1)
+        except Exception:
+            pass  # warmup is best-effort; real requests surface real errors
+
         self._dispatcher = threading.Thread(target=self._run, daemon=True)
         self._dispatcher.start()
 
@@ -167,6 +180,25 @@ class SearchService:
     def _search(self, queries, queries_lo, k):
         if queries_lo is None and self.projection is not None:
             queries_lo = self.projection(queries)
+        # shape bucketing: jit compiles one program per query-batch shape,
+        # and a coalesced batch's size varies request to request (~12 s
+        # compile each on this relay). Pad to the next power-of-two bucket
+        # (min 256) with repeated rows and slice the padding back off.
+        m = queries.shape[0]
+        bucket = 256
+        while bucket < m:
+            bucket *= 2
+        if bucket != m:
+            pad = bucket - m
+            queries = np.concatenate(
+                [queries, np.repeat(queries[-1:], pad, axis=0)])
+            if queries_lo is not None:
+                queries_lo = np.concatenate(
+                    [queries_lo, np.repeat(queries_lo[-1:], pad, axis=0)])
+        ids, dists = self._search_exact(queries, queries_lo, k)
+        return np.asarray(ids)[:m], np.asarray(dists)[:m]
+
+    def _search_exact(self, queries, queries_lo, k):
         if self.engine == "fused":
             return self.fused.search(queries, queries_lo, k=k,
                                      c=max(self.c, k), merge="approx")
@@ -229,8 +261,10 @@ def make_handler(service: SearchService):
                 t0 = time.perf_counter()
                 ids, dists = service.submit(queries, qlo, k)
                 self._reply(200, {
-                    "ids": ids.tolist(),
-                    "dists": [[float(x) for x in row] for row in dists],
+                    "ids": np.asarray(ids).tolist(),
+                    # C-speed float conversion: a per-element Python loop
+                    # over the dists burned ~100 ms per large batch
+                    "dists": np.asarray(dists, dtype=np.float64).tolist(),
                     "took_ms": round((time.perf_counter() - t0) * 1e3, 2),
                 })
             except (KeyError, ValueError, TypeError) as e:
