@@ -41,8 +41,9 @@ def _round_up(a: int, m: int) -> int:
     return -(-a // m) * m
 
 
-def _scan_kernel(q_ref, x_ref, add_ref, val_ref, idx_ref, *, n_bins_c: int,
-                 bin_size: int, l2: bool, packed: bool, prescaled: bool):
+def _scan_kernel(q_ref, x_ref, add_ref, qs_ref, val_ref, idx_ref, *,
+                 n_bins_c: int, bin_size: int, l2: bool, packed: bool,
+                 prescaled: bool, shifted: bool):
     """One (corpus-chunk, query-tile) cell: bin-reduced scores.
 
     Scores are computed transposed — (BIN, TQ), corpus rows on sublanes —
@@ -85,17 +86,32 @@ def _scan_kernel(q_ref, x_ref, add_ref, val_ref, idx_ref, *, n_bins_c: int,
             scores = addb[:, None] - 2.0 * dots
         else:
             scores = addb[:, None] - dots
+        if shifted:
+            # per-query shift (‖q‖² for l2 / an upper bound for ip) makes
+            # scores >= ~0 so IEEE bits compare correctly as signed ints
+            # WITHOUT the 3-op sign flip: one broadcast add replaces
+            # cmp+xor+select. MEASURED NEUTRAL at 1M (409.6k vs 417.1k QPS,
+            # within session noise): Mosaic already fuses the flip into the
+            # min pass, so the op-count model overestimates its cost. Kept
+            # as an option; the default path stays unshifted.
+            scores = scores + qs_ref[0, :][None, :]
         if packed:
             bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
-            # signed-int total order for IEEE floats: negatives flip their
-            # low 31 bits (reverses their order, keeps them below positives)
-            okey = jnp.where(bits < 0, bits ^ 0x7FFFFFFF, bits)
+            if shifted:
+                okey = bits
+            else:
+                # signed-int total order for IEEE floats: negatives flip
+                # their low 31 bits (reverses order, keeps below positives)
+                okey = jnp.where(bits < 0, bits ^ 0x7FFFFFFF, bits)
             iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
             pkey = (okey & ~mask) | iota
             pmin = jnp.min(pkey, axis=0)                 # ONE pass
             pos = pmin & mask
             obits = pmin & ~mask
-            vbits = jnp.where(obits < 0, obits ^ 0x7FFFFFFF, obits)
+            if shifted:
+                vbits = obits
+            else:
+                vbits = jnp.where(obits < 0, obits ^ 0x7FFFFFFF, obits)
             val_ref[b, :] = jax.lax.bitcast_convert_type(vbits, jnp.float32)
         else:
             pos = jnp.argmin(scores, axis=0).astype(jnp.int32)
@@ -269,9 +285,10 @@ def shifted_scan(q_aug, x_aug, *, bin_size: int = 1024, chunk: int = 16384,
     static_argnames=("metric", "bin_size", "chunk", "tq", "interpret",
                      "packed", "prescaled"),
 )
-def binned_scan(q, x, addvec, *, metric: str = "l2", bin_size: int = 1024,
-                chunk: int = 16384, tq: int = 512, interpret: bool = False,
-                packed: bool = True, prescaled: bool = False):
+def binned_scan(q, x, addvec, qshift=None, *, metric: str = "l2",
+                bin_size: int = 1024, chunk: int = 16384, tq: int = 512,
+                interpret: bool = False, packed: bool = True,
+                prescaled: bool = False):
     """Bin winners of the full scan: ``(vals (B, n_bins) f32, ids int32)``.
 
     q (B, d) — cast to x.dtype inside; x (n_pad, d) with n_pad a multiple
@@ -287,12 +304,16 @@ def binned_scan(q, x, addvec, *, metric: str = "l2", bin_size: int = 1024,
     Bp = _round_up(B, tq)
     qp = jnp.pad(q, ((0, Bp - B), (0, 0))).astype(x.dtype)
     b_tiles = Bp // tq
+    shifted = qshift is not None
+    qs = (jnp.pad(qshift.astype(jnp.float32), ((0, Bp - B),))
+          if shifted else jnp.zeros((Bp,), jnp.float32)).reshape(1, Bp)
 
     if packed and (bin_size & (bin_size - 1)):
         raise ValueError("packed selection needs power-of-two bin_size")
     kernel = functools.partial(_scan_kernel, n_bins_c=n_bins_c,
                                bin_size=bin_size, l2=metric == "l2",
-                               packed=packed, prescaled=prescaled)
+                               packed=packed, prescaled=prescaled,
+                               shifted=shifted)
     grid = (n_chunks, b_tiles)
     vals, ids = pl.pallas_call(
         kernel,
@@ -303,6 +324,8 @@ def binned_scan(q, x, addvec, *, metric: str = "l2", bin_size: int = 1024,
             pl.BlockSpec((chunk, d), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq), lambda j, i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -321,7 +344,7 @@ def binned_scan(q, x, addvec, *, metric: str = "l2", bin_size: int = 1024,
                             + Bp * d * 4 + Bp * n_bins * 8),
             transcendentals=0),
         interpret=interpret,
-    )(qp, x, addvec.reshape(1, n_pad).astype(jnp.float32))
+    )(qp, x, addvec.reshape(1, n_pad).astype(jnp.float32), qs)
     # back to query-major for the final merge (cheap: (n_bins, B) transpose)
     return vals[:, :B].T, ids[:, :B].T
 
@@ -374,6 +397,8 @@ class FusedScanIndex:
             # (exponent shift + sign), see _scan_kernel prescaled
             self.x_lo = jnp.asarray(scale * lo_pad, dtype=scan_dtype)
             self.addvec = jnp.asarray(add)
+            # per-query shift bound for ip/angular (l2 uses ‖q‖² exactly)
+            self.max_norm = float(np.sqrt((lo ** 2).sum(-1).max())) or 1.0
         self.base_full = jnp.asarray(base_full)
         self.base_sq = jnp.sum(self.base_full * self.base_full, axis=-1)
         # CPU/interpret fallback keeps tests runnable off-TPU
