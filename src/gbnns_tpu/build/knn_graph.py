@@ -88,16 +88,25 @@ def build_knn_graph(base, K: int, *, metric: str = "l2",
         mega = max(node_chunk,
                    int(pairs_per_sec * exec_budget_s / max(n, 1))
                    // node_chunk * node_chunk)
-        parts = []
+        # dispatch every mega-chunk before collecting: device-to-host
+        # transfers of chunk i overlap execution of chunk i+1 instead of
+        # serializing compute behind each blocking np.asarray (the same
+        # pipelining rule as QPS timing, eval/bench.time_search). The
+        # handful of queued ~20 s executions stays far below the relay's
+        # ~100-queued-execution wedge threshold.
+        pending = []
         for off in range(0, n, mega):
             hi = min(off + mega, n)
             _, ids_j = knn_fused(xb[off:hi], xb, K + 1, metric=metric,
                                  chunk=chunk, q_chunk=node_chunk,
                                  exact=exact, recall_target=recall_target,
                                  precision=precision)
+            pending.append(ids_j)
+        parts = []
+        for i, ids_j in enumerate(pending):
             parts.append(np.asarray(ids_j))
             if verbose:
-                print(f"  knn-graph {hi}/{n} ({hi / n:.0%}) "
+                print(f"  knn-graph part {i + 1}/{len(pending)} "
                       f"{time.perf_counter() - t0:.1f}s", flush=True)
         ids_all = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     graph = _drop_self(ids_all, 0)
