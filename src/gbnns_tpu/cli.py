@@ -140,7 +140,7 @@ def _run_search(base_full, base_lo, query_full, query_lo, graph, gt, ef, k,
     import jax
     import jax.numpy as jnp
 
-    from gbnns_tpu.eval.bench import BenchResult, time_search
+    from gbnns_tpu.eval.bench import TIMING_MODE, BenchResult, time_search
     from gbnns_tpu.eval.recall import recall_at_k
     from gbnns_tpu.search.rerank import rerank
     from gbnns_tpu.search.walker_jax import (beam_search, default_entry_ids,
@@ -214,7 +214,7 @@ def _run_search(base_full, base_lo, query_full, query_lo, graph, gt, ef, k,
         recall_at_1=r1, recall_at_10=r10, n_queries=nq,
         dist_comps_per_query=float(n_dist.mean()),
         hops=hops, extra={"recall_cutoff": min(10, k), "packed": packed,
-                          "walker": walker}), ids
+                          "walker": walker, "timing": TIMING_MODE}), ids
 
 
 def _load_search_inputs(args):
@@ -234,7 +234,7 @@ def _load_search_inputs(args):
 
 def _run_sharded(base, base_lo, query, q_lo, gt, ef, args):
     """Sharded-mesh run for `search`/`sweep --n-devices N` (SURVEY §4.5)."""
-    from gbnns_tpu.eval.bench import BenchResult, time_search
+    from gbnns_tpu.eval.bench import TIMING_MODE, BenchResult, time_search
     from gbnns_tpu.eval.recall import recall_at_k
     from gbnns_tpu.search.sharded import (build_sharded_index, make_mesh,
                                           sharded_search)
@@ -261,7 +261,7 @@ def _run_sharded(base, base_lo, query, q_lo, gt, ef, args):
         label=f"sharded-ef{ef}", ef=ef, qps=qps, latency_ms=sec * 1e3,
         recall_at_1=r1, recall_at_10=r10, n_queries=q_lo.shape[0],
         dist_comps_per_query=float("nan"), hops=-1,
-        extra={"n_devices": args.n_devices}), ids
+        extra={"n_devices": args.n_devices, "timing": TIMING_MODE}), ids
 
 
 def cmd_search(args):

@@ -49,6 +49,12 @@ class DimRedConfig:
     # Graph-mined negatives: (lo, hi) GT ranks to sample negatives from
     # (confusable near-misses), or null for uniform corpus negatives.
     neg_ranks: tuple[int, int] | None = None
+    # Training-positive subsample: the triplet trainer's positives come from
+    # an exact in-sample GT, which is O(n²) on the full corpus (~6 min of
+    # pure supervision cost at 1M). Projection quality is corpus-statistics
+    # bound, not n-bound (bench.py trains on 262k with unchanged downstream
+    # recall), so cap the supervision set. 0 disables the cap.
+    train_sample: int = 262_144
     seed: int = 0
 
 

@@ -20,6 +20,12 @@ from typing import Any, Callable
 import jax
 import numpy as np
 
+# QPS timing definition used by time_search since round 2: all iterations
+# dispatched, one block at the end. Stamped into BenchResult.extra by the
+# sweep drivers so cross-round comparisons know which methodology made
+# each number (round-1 artifacts used "blocked": block every batch).
+TIMING_MODE = "pipelined"
+
 
 @dataclasses.dataclass
 class BenchResult:
@@ -64,6 +70,11 @@ def time_search(search_fn: Callable[[], Any], n_queries: int, *,
     ~50 ms device batch's throughput by ~1.8x (measured round 2: the same
     fused scan read 191k QPS blocked vs 346k pipelined)."""
     sec_lat, _ = time_fn(search_fn, warmup=warmup, iters=max(2, iters // 2))
+    # NOTE comparability: numbers produced before round 2 used the
+    # per-batch-blocked definition (what latency_ms still reports), ~1.8x
+    # lower for ~50 ms batches on this relay. Callers stamp
+    # extra["timing"] = TIMING_MODE so artifacts record which definition
+    # produced each QPS figure (ADVICE r2).
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):

@@ -169,7 +169,7 @@ def _split_hi_lo(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def augment_corpus(x_lo_pad: np.ndarray, n: int, metric: str) -> np.ndarray:
-    """Fold the full distance into one matmul: returns x_aug (n_pad, d+5
+    """Fold the full distance into one matmul: returns x_aug (n_pad, d+4
     for l2, d+1 for ip/angular) f32 (cast to the scan dtype by the caller).
 
       l2:  x_aug = [-2x | nhi | nlo | 1 | 1]  vs  q_aug = [q | 1 | 1 | qhi | qlo]
@@ -180,7 +180,8 @@ def augment_corpus(x_lo_pad: np.ndarray, n: int, metric: str) -> np.ndarray:
     The -2x scaling is an exact exponent shift; norms are of the
     *scan-dtype-rounded* vectors so the matmul reconstructs them exactly
     (see _scan_kernel_shifted). Padding rows (index >= n) get nhi=+inf
-    (l2) / a -inf dot (ip) so they never win a bin.
+    (l2) / +inf in the C_q column (ip) — either way their score is +inf,
+    so they never win a bin.
     """
     import ml_dtypes
 

@@ -56,7 +56,7 @@ def fit_projection(cfg: ExperimentConfig, base, query, gt):
                 {"pca_mean": model.mean, "pca_components": model.components})
     from gbnns_tpu.dimred.train import TrainConfig, project, train_projection
 
-    nbrs = gt_for_training(cfg, base, gt)
+    base_train, nbrs = gt_for_training(cfg, base, gt)
     tc = TrainConfig(d_out=cfg.dimred.d_out, model=m, hidden=cfg.dimred.hidden,
                      metric=cfg.metric, margin=cfg.dimred.margin,
                      lr=cfg.dimred.lr, batch_size=cfg.dimred.batch_size,
@@ -64,22 +64,34 @@ def fit_projection(cfg: ExperimentConfig, base, query, gt):
                      hard_negatives=cfg.dimred.hard_negatives,
                      neg_ranks=cfg.dimred.neg_ranks,
                      seed=cfg.dimred.seed)
-    trained = train_projection(base, nbrs, tc)
+    trained = train_projection(base_train, nbrs, tc)
     return project(trained, base), project(trained, query), {"trained": trained}
 
 
 def gt_for_training(cfg: ExperimentConfig, base, gt_query):
-    """Training positives: each base node's true near neighbors — the
-    base-vs-base GT (the kNN graph rows double as supervision,
-    SURVEY §4.2). Widened past k_pos when graph-mined negatives
-    (dimred.neg_ranks) need deeper rank coverage."""
+    """Training supervision: ``(base_train, nbrs)`` — each training node's
+    true near neighbors, in-sample indices (the kNN graph rows double as
+    supervision, SURVEY §4.2). Widened past k_pos when graph-mined
+    negatives (dimred.neg_ranks) need deeper rank coverage.
+
+    The exact base-vs-base GT is O(n²); at contract scale that is a second
+    ~6-minute all-pairs sweep spent purely on training positives, so the
+    supervision set is capped at ``dimred.train_sample`` rows (VERDICT r2
+    item 6) — same fix bench.py:88-94 already carried."""
     from gbnns_tpu.eval.recall import exact_ground_truth
 
     need = cfg.dimred.k_pos
     if cfg.dimred.neg_ranks is not None:
         need = max(need, cfg.dimred.neg_ranks[1])
-    nbrs = exact_ground_truth(base, base, k=need + 1, metric=cfg.metric)
-    return nbrs[:, 1:]
+    n = base.shape[0]
+    cap = cfg.dimred.train_sample
+    base_train = base
+    if cap and 0 < cap < n:
+        rng = np.random.default_rng(cfg.dimred.seed)
+        base_train = base[rng.choice(n, size=cap, replace=False)]
+    nbrs = exact_ground_truth(base_train, base_train, k=need + 1,
+                              metric=cfg.metric)
+    return base_train, nbrs[:, 1:]
 
 
 def build_graph(cfg: ExperimentConfig, base, base_lo=None):
@@ -210,7 +222,7 @@ def _flat_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
     (candidate pool c for the scans, probes for ivf)."""
     import jax
 
-    from gbnns_tpu.eval.bench import BenchResult, time_search
+    from gbnns_tpu.eval.bench import TIMING_MODE, BenchResult, time_search
     from gbnns_tpu.eval.recall import recall_at_k
 
     kind = cfg.search.index
@@ -252,7 +264,8 @@ def _flat_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
             recall_at_10=recall_at_k(ids, gt, recall_k),
             n_queries=query.shape[0],
             dist_comps_per_query=dist_comps,
-            hops=0, extra={"index": kind, "recall_cutoff": recall_k})
+            hops=0, extra={"index": kind, "recall_cutoff": recall_k,
+                           "timing": TIMING_MODE})
         results.append(r)
         print(f"  c={c:4d}  R@1={r.recall_at_1:.4f}  R@10={r.recall_at_10:.4f}"
               f"  QPS={r.qps:,.0f}", flush=True)
@@ -262,7 +275,7 @@ def _flat_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
 def _sharded_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
     import jax
 
-    from gbnns_tpu.eval.bench import BenchResult, time_search
+    from gbnns_tpu.eval.bench import TIMING_MODE, BenchResult, time_search
     from gbnns_tpu.eval.recall import recall_at_k
     from gbnns_tpu.search.sharded import (build_sharded_index, make_mesh,
                                           sharded_search)
@@ -293,7 +306,8 @@ def _sharded_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
             recall_at_10=recall_at_k(ids, gt, recall_k),
             n_queries=query_lo.shape[0], dist_comps_per_query=float("nan"),
             hops=-1, extra={"n_devices": cfg.n_devices,
-                            "recall_cutoff": recall_k})
+                            "recall_cutoff": recall_k,
+                            "timing": TIMING_MODE})
         results.append(r)
         print(f"  ef={ef:4d}  R@1={r.recall_at_1:.4f}  "
               f"R@10={r.recall_at_10:.4f}  QPS={r.qps:,.0f}", flush=True)

@@ -159,9 +159,12 @@ def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
     if engine == "fused":
         n_shard = index.n_shard
         f_chunk = min(16384, max(128, 1 << (n_shard - 1).bit_length()))
+        # round DOWN to a power of two so f_bin always divides the
+        # power-of-two f_chunk and never collapses below the floor (a
+        # non-power-of-two ef like 48 used to drive f_bin to 2, blowing
+        # the bin-winner arrays up to (B, n_pad/2) — multi-GB at 1M shards)
         f_bin = max(8, min(1024, f_chunk // max(8, ef)))
-        while f_chunk % f_bin:
-            f_bin //= 2
+        f_bin = 1 << (f_bin.bit_length() - 1)
         f_pad = -(-n_shard // f_chunk) * f_chunk
         f_interp = jax.default_backend() != "tpu"
 

@@ -255,6 +255,11 @@ def make_handler(service: SearchService):
                 queries = np.asarray(req["queries"], dtype=np.float32)
                 if queries.ndim != 2:
                     raise ValueError("queries must be (n, d)")
+                if queries.shape[0] == 0:
+                    # an empty batch would defeat the shape bucketing
+                    # (pad-by-repeat has no row to repeat) and reach the
+                    # engine as a 0-row jit call; clean 400 instead
+                    raise ValueError("empty query batch")
                 k = int(req.get("k", 10))
                 qlo = req.get("queries_lo")
                 qlo = np.asarray(qlo, np.float32) if qlo is not None else None
