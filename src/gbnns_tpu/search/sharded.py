@@ -51,6 +51,15 @@ class ShardedIndex:
     n_shard: int
     mesh: Mesh
     axis: str = "shards"
+    # DMA-payload hop data for engine="graph_pallas" (the round-2 fast
+    # walker, per shard): packed rows + static decode metadata. None when
+    # the index was built with with_payload=False.
+    payload: jax.Array | None = None        # (Pn, n_shard, S, 128) f32 view
+    payload_meta: tuple | None = None       # (K, d_lo, vec_words, bf16)
+    # per-shard centroid entry points (entries.CentroidEntries, sharded):
+    cent: jax.Array | None = None           # (Pn, ncent, d_lo)
+    cent_sq: jax.Array | None = None        # (Pn, ncent)
+    cent_ids: jax.Array | None = None       # (Pn, ncent) int32 LOCAL ids
     # jit cache: one compiled shard_map program per search-parameter tuple,
     # so repeated sweeps/benchmark iterations never re-trace.
     _fns: dict = dataclasses.field(default_factory=dict, repr=False)
@@ -66,6 +75,9 @@ def make_mesh(n_devices: int | None = None, axis: str = "shards") -> Mesh:
 def build_sharded_index(base_full, K: int, mesh: Mesh, *,
                         base_lo=None, metric: str = "l2",
                         axis: str = "shards", with_graph: bool = True,
+                        with_payload: bool = False,
+                        vec_dtype: str = "bfloat16", ncent: int = 0,
+                        seed: int = 0,
                         build_kwargs: dict[str, Any] | None = None) -> ShardedIndex:
     """Partition the corpus into contiguous per-device shards and build an
     independent kNN subgraph per shard (local ids). Shard p owns global ids
@@ -75,7 +87,15 @@ def build_sharded_index(base_full, K: int, mesh: Mesh, *,
 
     ``with_graph=False`` skips the O(n²/P)-per-shard subgraph build for
     indexes that will only ever be scanned (engine="flat") — the graph field
-    becomes a zero-width (Pn, n_shard, 0) placeholder."""
+    becomes a zero-width (Pn, n_shard, 0) placeholder.
+
+    ``with_payload=True`` additionally packs each shard's subgraph +
+    reduced vectors into DMA-aligned hop rows (walker_pallas.
+    pack_hop_payload) and, when ``ncent>0``, fits per-shard centroid
+    entry points — the two levers that made the single-chip walker 23x
+    faster in round 2, now per shard for ``engine="graph_pallas"``
+    (VERDICT r2 item 3: the sharded path used to fall back to the slow
+    pure-XLA hop)."""
     base_full = np.asarray(base_full, dtype=np.float32)
     base_lo = base_full if base_lo is None else np.asarray(base_lo, np.float32)
     n, d = base_full.shape
@@ -108,12 +128,43 @@ def build_sharded_index(base_full, K: int, mesh: Mesh, *,
     else:
         graph = np.zeros((Pn, n_shard, 0), np.int32)
 
+    payload = payload_meta = cent = cent_sq = cent_ids = None
+    if with_payload:
+        if not with_graph:
+            raise ValueError("with_payload=True needs with_graph=True")
+        from gbnns_tpu.search.walker_pallas import pack_hop_payload
+
+        rows = []
+        for p in range(Pn):
+            hp = pack_hop_payload(graph[p],
+                                  base_lo[p * n_shard:(p + 1) * n_shard],
+                                  vec_dtype=vec_dtype)
+            rows.append(np.asarray(hp.data))
+            payload_meta = (hp.K, hp.d, hp.vec_words, hp.bf16)
+        payload = np.stack(rows)                 # (Pn, n_shard, S, 128)
+    if ncent:
+        from gbnns_tpu.search.entries import CentroidEntries
+
+        cs, cqs, cis = [], [], []
+        for p in range(Pn):
+            ce = CentroidEntries.build(
+                base_lo[p * n_shard:(p + 1) * n_shard], ncent=ncent,
+                metric=metric, seed=seed + p)
+            cs.append(np.asarray(ce.centroids))
+            cqs.append(np.asarray(ce.cent_sq))
+            cis.append(np.asarray(ce.node_ids))
+        cent, cent_sq = np.stack(cs), np.stack(cqs)
+        cent_ids = np.stack(cis).astype(np.int32)
+
     shard_spec = NamedSharding(mesh, P(axis))
+    put = lambda a: None if a is None else jax.device_put(a, shard_spec)
     return ShardedIndex(
         base_lo=jax.device_put(base_lo.reshape(Pn, n_shard, -1), shard_spec),
         base_full=jax.device_put(base_full.reshape(Pn, n_shard, -1), shard_spec),
         graph=jax.device_put(graph, shard_spec),
         n=n, n_shard=n_shard, mesh=mesh, axis=axis,
+        payload=put(payload), payload_meta=payload_meta,
+        cent=put(cent), cent_sq=put(cent_sq), cent_ids=put(cent_ids),
     )
 
 
@@ -132,12 +183,20 @@ def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
     ``queries`` are in the search (reduced) space; pass ``queries_full``
     whenever the index was built with a reduced ``base_lo`` so the re-rank
     gets the original-dimension vectors.
+
+    ``engine="graph_pallas"`` walks each shard with the round-2 fast hop
+    (DMA payload rows + per-shard centroid entries when the index carries
+    them) — the single-chip flagship walker, sharded. Requires an index
+    built with ``with_payload=True``.
     """
-    if engine not in ("graph", "flat", "fused"):
+    if engine not in ("graph", "flat", "fused", "graph_pallas"):
         raise ValueError(f"unknown engine {engine!r}")
     if engine == "graph" and index.graph.shape[-1] == 0:
         raise ValueError("index was built with with_graph=False; "
                          "rebuild with with_graph=True for engine='graph'")
+    if engine == "graph_pallas" and index.payload is None:
+        raise ValueError("index was built without hop payloads; rebuild "
+                         "with with_payload=True for engine='graph_pallas'")
     axis = index.axis
     rr_metric = rerank_metric or metric
     cache_key = (k, ef, num_entries, max_hops, metric, rr_metric, engine)
@@ -148,9 +207,15 @@ def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
         raise ValueError(
             f"re-rank needs full-dim queries: got {qfj.shape[1]}, index full "
             f"dim is {index.base_full.shape[-1]} (pass queries_full=...)")
+    extras = ()
+    has_cent = index.cent is not None
+    if engine == "graph_pallas":
+        extras = (index.payload,) + (
+            (index.cent, index.cent_sq, index.cent_ids) if has_cent else ())
     if cache_key in index._fns:
         ids, dists = index._fns[cache_key](qj, qfj, index.base_lo,
-                                           index.base_full, index.graph)
+                                           index.base_full, index.graph,
+                                           *extras)
         return ids, dists
     entry = default_entry_ids(index.n_shard, min(num_entries, ef))
 
@@ -168,9 +233,32 @@ def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
         f_pad = -(-n_shard // f_chunk) * f_chunk
         f_interp = jax.default_backend() != "tpu"
 
-    def per_shard(q, q_full, base_lo, base_full, graph):
+    def per_shard(q, q_full, base_lo, base_full, graph, *extra):
         base_lo, base_full, graph = base_lo[0], base_full[0], graph[0]
-        if engine == "fused":
+        if engine == "graph_pallas":
+            # per-shard DMA-payload hop + centroid entries: the single-chip
+            # flagship walker (graph_index.GraphIndex), inside shard_map
+            from gbnns_tpu.kernels.distance import pairwise_dists
+            from gbnns_tpu.search.walker_pallas import (HopPayload,
+                                                        beam_search_pallas)
+
+            K_, d_, vw_, bf16_ = index.payload_meta
+            payload = HopPayload(data=extra[0][0], n=index.n_shard, K=K_,
+                                 d=d_, vec_words=vw_, bf16=bf16_)
+            if has_cent:
+                c, csq, cid = extra[1][0], extra[2][0], extra[3][0]
+                cd = pairwise_dists(q, c, metric=metric, x_sqnorms=csq,
+                                    precision="default")
+                E = min(num_entries, ef, c.shape[0])
+                _, sel = jax.lax.approx_max_k(-cd, E, recall_target=0.95)
+                ent = cid[sel]                     # (B, E) local start nodes
+            else:
+                ent = entry
+            res = beam_search_pallas(q, payload, base_lo, ent, ef=ef,
+                                     metric=metric, max_hops=max_hops)
+            ids, dists = rerank(q_full, base_full, res.ids, k,
+                                metric=rr_metric)
+        elif engine == "fused":
             # per-shard fused Pallas binned scan (the single-chip flagship
             # engine, sharded): scores never leave VMEM; only the shard's
             # top-ef candidates are re-ranked and merged over ICI
@@ -225,10 +313,11 @@ def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
     # is correct; disabling the static check keeps the collective lowering.
     fn = jax.jit(jax.shard_map(
         per_shard, mesh=index.mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P()) + (P(axis),) * (3 + len(extras)),
         out_specs=(P(), P()),
         check_vma=False,
     ))
     index._fns[cache_key] = fn
-    ids, dists = fn(qj, qfj, index.base_lo, index.base_full, index.graph)
+    ids, dists = fn(qj, qfj, index.base_lo, index.base_full, index.graph,
+                    *extras)
     return ids, dists

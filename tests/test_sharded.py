@@ -97,6 +97,43 @@ def test_sharded_with_projection(fixture_data, fixture_gt, mesh8):
         sharded_search(idx, qlo, 10, ef=64)
 
 
+def test_sharded_graph_pallas_engine(fixture_data, fixture_gt, mesh8,
+                                     sharded_index):
+    """engine='graph_pallas': per-shard DMA-payload hop + per-shard
+    centroid entries (VERDICT r2 item 2 — the sharded path used to fall
+    back to the slow pure-XLA hop). Interpret-mode Pallas on the CPU mesh;
+    quality must match the single-chip GraphIndex walker on the same
+    corpus."""
+    from gbnns_tpu.search.graph_index import GraphIndex
+
+    base, query = fixture_data
+    idx = build_sharded_index(base, 8, mesh8, with_payload=True, ncent=16,
+                              build_kwargs=dict(chunk=1024, node_chunk=1024))
+    assert idx.payload is not None and idx.payload.shape[0] == 8
+    assert idx.cent_ids is not None and (np.asarray(idx.cent_ids)
+                                         < idx.n_shard).all()
+    ids, dists = sharded_search(idx, query, 10, ef=32,
+                                engine="graph_pallas")
+    ids = np.asarray(ids)
+    assert ids.shape == (query.shape[0], 10)
+    assert (ids >= 0).all() and (ids < base.shape[0]).all()
+    d = np.asarray(dists)
+    assert (np.diff(d, axis=1) >= -1e-6).all()
+    r10 = recall_at_k(ids, fixture_gt, 10)
+    # single-chip flagship walker on the same corpus at the same ef
+    gidx = GraphIndex.build(base, K=8, ncent=64,
+                            build_kwargs=dict(chunk=1024, node_chunk=1024))
+    sids, _ = gidx.search(query, ef=32)
+    r10_single = recall_at_k(np.asarray(sids), fixture_gt, 10)
+    assert r10 >= r10_single - 0.02, (r10, r10_single)
+    assert r10 >= 0.9, r10
+
+    # an index without payloads must reject the engine loudly
+    with pytest.raises(ValueError, match="with_payload"):
+        sharded_search(sharded_index, query, 10, ef=32,
+                       engine="graph_pallas")
+
+
 def test_sharded_fused_engine(fixture_data, fixture_gt):
     """engine='fused': per-shard Pallas binned scan + ICI all_gather merge
     (the single-chip flagship engine, sharded)."""
