@@ -111,6 +111,56 @@ def test_beam_search_results_sorted(fixture_data, graph16):
         assert len(row) == len(np.unique(row))
 
 
+def test_exact_visited_ef_n_is_exhaustive(fixture_data):
+    """SURVEY §7.4 property: ef = n turns the exact-visited walk into an
+    exhaustive search — on a reachability-repaired graph it must return
+    the true top-k (recall 1.0), because the pool can hold every node and
+    the walk only stops when no unexpanded candidate remains."""
+    base, query = fixture_data
+    base, query = base[:256], query[:64]
+    n = base.shape[0]
+    graph = build_knn_graph(base, 8, chunk=1024, node_chunk=256)
+    # the connectivity repair guarantees directed reachability from the
+    # DEFAULT 32-entry set — exhaustiveness holds from that set
+    res = beam_search(jnp.asarray(query), jnp.asarray(base),
+                      jnp.asarray(graph), default_entry_ids(n),
+                      ef=n, max_hops=2 * n, visited_mode="exact", expand=1)
+    ids, _ = rerank(jnp.asarray(query), jnp.asarray(base), res.ids, 10)
+    d2 = ((query[:, None, :] - base[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1, kind="stable")[:, :10].astype(np.int32)
+    r10 = recall_at_k(np.asarray(ids), gt, 10)
+    assert r10 == 1.0, r10
+    # and the walk really did visit everything reachable
+    assert (np.asarray(res.n_dist) >= n - 32).all()
+
+
+def test_pca_orthonormal_and_isometric():
+    """SURVEY §7.4 property: PCA components are orthonormal; at full rank
+    the transform is a centered rotation (pairwise distances preserved),
+    and at reduced rank projected distances never exceed the originals."""
+    from gbnns_tpu.dimred.pca import pca_fit, pca_transform
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((512, 24)).astype(np.float32) * \
+        np.linspace(3.0, 0.1, 24, dtype=np.float32)
+    m_full = pca_fit(x, 24)
+    c = m_full.components                       # (d, d_out)
+    np.testing.assert_allclose(c.T @ c, np.eye(24), atol=1e-4)
+    y = pca_transform(m_full, x)
+    dx = ((x[:64, None] - x[None, :64]) ** 2).sum(-1)
+    dy = ((y[:64, None] - y[None, :64]) ** 2).sum(-1)
+    np.testing.assert_allclose(dy, dx, rtol=2e-3, atol=2e-3)
+    # reduced rank: orthonormal columns; projection contracts distances
+    m8 = pca_fit(x, 8)
+    c8 = m8.components
+    np.testing.assert_allclose(c8.T @ c8, np.eye(8), atol=1e-4)
+    y8 = pca_transform(m8, x)
+    d8 = ((y8[:64, None] - y8[None, :64]) ** 2).sum(-1)
+    assert (d8 <= dx * (1 + 2e-3) + 2e-3).all()
+    # and the energy kept is the top-eigenvalue mass (variance ordering)
+    assert (np.diff(m8.explained_variance) <= 1e-5).all()
+
+
 def test_rerank_excludes_invalid_and_dups():
     base = np.array([[0.0], [1.0], [2.0], [3.0]], dtype=np.float32)
     q = np.array([[0.9]], dtype=np.float32)
