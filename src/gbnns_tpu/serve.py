@@ -16,6 +16,13 @@ round-trip on this relay vs ~35 ms for an 8192-query batch).
 Start:  gbnns serve --base base.fvecs [--base-lo base_lo.fvecs]
                     [--graph graph.npy] --port 8390
 Query:  curl -d '{"queries": [[...]], "k": 10}' localhost:8390/search
+
+Two wire protocols (connections are HTTP/1.1 persistent):
+  POST /search       JSON  — convenient, ~100 ms encode/decode per large
+                     batch (debug/low-rate use)
+  POST /search_raw   raw little-endian binary (pack_raw_request /
+                     unpack_raw_response) — the production path; numpy
+                     buffer in/out, no per-element Python
 """
 
 from __future__ import annotations
@@ -224,8 +231,32 @@ class SearchService:
         self._stop.set()
 
 
+RAW_MAGIC = 0x47424E31  # "GBN1": raw little-endian binary search protocol
+
+
+def pack_raw_request(queries: np.ndarray, k: int) -> bytes:
+    """Client-side encoder for POST /search_raw: 16-byte header
+    (magic, n, d, k int32 LE) + n*d float32 LE query vectors."""
+    q = np.ascontiguousarray(queries, dtype="<f4")
+    hdr = np.array([RAW_MAGIC, q.shape[0], q.shape[1], k], dtype="<i4")
+    return hdr.tobytes() + q.tobytes()
+
+
+def unpack_raw_response(body: bytes):
+    """Client-side decoder: (ids (n,k) int32, dists (n,k) f32)."""
+    n, k = np.frombuffer(body[:8], dtype="<i4")
+    ids = np.frombuffer(body[8:8 + 4 * n * k], dtype="<i4").reshape(n, k)
+    dists = np.frombuffer(body[8 + 4 * n * k:], dtype="<f4").reshape(n, k)
+    return ids, dists
+
+
 def make_handler(service: SearchService):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1: persistent connections (every reply carries
+        # Content-Length, so keep-alive is safe). Re-handshaking per
+        # request cost ~40% of round-2's end-to-end throughput.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -237,6 +268,13 @@ def make_handler(service: SearchService):
             self.end_headers()
             self.wfile.write(body)
 
+        def _reply_raw(self, payload: bytes):
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok",
@@ -246,6 +284,40 @@ def make_handler(service: SearchService):
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path == "/search_raw":
+                # raw binary protocol (VERDICT r2 item 7): the JSON stack
+                # cost ~100 ms per large batch in encode/decode alone;
+                # numpy frombuffer/tobytes is ~free. Body layout documented
+                # at pack_raw_request/unpack_raw_response.
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(length)
+                    if length < 16:
+                        raise ValueError("raw body too short")
+                    magic, n, d, k = np.frombuffer(body[:16], dtype="<i4")
+                    if magic != RAW_MAGIC:
+                        raise ValueError("bad magic (expected GBN1)")
+                    if n <= 0 or d <= 0 or not 0 < k <= 1024:
+                        raise ValueError(f"bad raw header n={n} d={d} k={k}")
+                    d_index = int(service.flat.base_full.shape[1])
+                    if d != d_index:
+                        raise ValueError(f"query dim {d} != index dim "
+                                         f"{d_index}")
+                    if length != 16 + 4 * n * d:
+                        raise ValueError("raw body length mismatch")
+                    queries = np.frombuffer(body[16:], dtype="<f4") \
+                        .reshape(n, d)
+                    ids, dists = service.submit(queries, None, int(k))
+                    hdr = np.array([ids.shape[0], ids.shape[1]], dtype="<i4")
+                    self._reply_raw(
+                        hdr.tobytes()
+                        + np.ascontiguousarray(ids, dtype="<i4").tobytes()
+                        + np.ascontiguousarray(dists, dtype="<f4").tobytes())
+                except (ValueError, TypeError) as e:
+                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                except Exception as e:
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             if self.path != "/search":
                 self._reply(404, {"error": "not found"})
                 return

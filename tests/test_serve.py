@@ -71,6 +71,61 @@ def test_concurrent_requests_microbatch(server, fixture_data, fixture_gt):
     assert hits >= 6
 
 
+def test_search_raw_roundtrip(server, fixture_data, fixture_gt):
+    """Raw binary protocol over a persistent HTTP/1.1 connection."""
+    import http.client
+
+    from gbnns_tpu.serve import pack_raw_request, unpack_raw_response
+
+    url, _ = server
+    base, query = fixture_data
+    host, port = url.split("//")[1].split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=60)
+    try:
+        for rep in range(3):  # 3 requests on ONE connection (keep-alive)
+            body = pack_raw_request(query[:4], 5)
+            conn.request("POST", "/search_raw", body=body,
+                         headers={"Content-Type":
+                                  "application/octet-stream"})
+            r = conn.getresponse()
+            assert r.status == 200
+            ids, dists = unpack_raw_response(r.read())
+            assert ids.shape == (4, 5) and dists.shape == (4, 5)
+            assert (ids[:, 0] == fixture_gt[:4, 0]).mean() >= 0.75
+            assert (np.diff(dists, axis=1) >= -1e-5).all()
+    finally:
+        conn.close()
+
+
+def test_search_raw_rejects_bad_bodies(server, fixture_data):
+    url, _ = server
+    base, query = fixture_data
+    from gbnns_tpu.serve import pack_raw_request
+
+    def raw_post(body):
+        req = urllib.request.Request(
+            url + "/search_raw", data=body,
+            headers={"Content-Type": "application/octet-stream"})
+        return urllib.request.urlopen(req, timeout=30)
+
+    for bad in (b"short", b"\x00" * 64,
+                pack_raw_request(query[:2, :7], 5)):   # wrong dim
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            raw_post(bad)
+        assert exc.value.code == 400
+
+
+def test_empty_batch_rejected(server):
+    url, _ = server
+    req = urllib.request.Request(url + "/search",
+                                 data=b'{"queries": [], "k": 3}',
+                                 headers={"Content-Type":
+                                          "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 400
+
+
 def test_bad_request_returns_400(server):
     url, _ = server
     req = urllib.request.Request(url + "/search", data=b'{"queries": "nope"}',
