@@ -350,6 +350,160 @@ def binned_scan(q, x, addvec, qshift=None, *, metric: str = "l2",
     return vals[:, :B].T, ids[:, :B].T
 
 
+_PINF = float("inf")
+
+
+def _flip(bits):
+    """IEEE-f32 signed-int total order (see _scan_kernel packed mode)."""
+    return jnp.where(bits < 0, bits ^ 0x7FFFFFFF, bits)
+
+
+def _gated_topm_kernel(mask_ref, q_ref, x_ref, add_ref, val_ref, idx_ref,
+                       vs_ref, is_ref, *, sub: int, fine: int, m: int,
+                       n_btiles: int):
+    """Cluster-gated cell producing the chunk's TOP-M candidates per query.
+
+    Two-level selection (the VERDICT r2 'two-level hierarchical min'):
+      1. per ``sub``-row matmul block, packed-key min per ``fine``-row
+         group -> (chunk/fine) fine-bin winners per query, staged in VMEM
+         scratch (vs_ref values, is_ref global positions);
+      2. m rounds of packed-key min over the (chunk/fine, TQ) scratch,
+         one-hot extracting each round's winner and masking it to +inf.
+
+    Rationale: the gated index stores the corpus CLUSTER-MAJOR, so a
+    query's true top-k concentrates inside one chunk — top-1-per-bin
+    selection loses most of them to bin collisions (measured R@10 0.78 at
+    full probes). Per-chunk top-m is collision-free for k <= m while
+    keeping the merge width at m * n_chunks. Skipped cells (tile mask 0)
+    write +inf winners, which the final merge discards.
+    """
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    keep = mask_ref[j * n_btiles + i] > 0
+    cn = x_ref.shape[0]
+    base_col = j * cn
+    nfb = cn // fine                       # fine bins per chunk
+    sub_mask = sub - 1                     # sub is a power of two
+    fine_bits = int(np.log2(fine))
+
+    @pl.when(keep)
+    def _():
+        q = q_ref[:]
+        tq = q.shape[0]
+        # ---- level 1: fine-bin winners over `sub`-row matmul blocks ----
+        for s in range(cn // sub):
+            xb = x_ref[s * sub:(s + 1) * sub, :]
+            dots = jax.lax.dot_general(
+                xb, q, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (sub, TQ)
+            addb = add_ref[0, s * sub:(s + 1) * sub]
+            scores = addb[:, None] + dots      # prescaled -2x / -x corpus
+            bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+            iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+            pkey = (_flip(bits) & ~sub_mask) | iota
+            # leading-axis split is layout-trivial; min over the fine axis
+            kmin = jnp.min(pkey.reshape(sub // fine, fine, tq), axis=1)
+            row = kmin & sub_mask              # position within the block
+            # _flip is an involution: flipping the ordered key's high bits
+            # back yields the (idx-quantized) score bits
+            vs_ref[s * (sub // fine):(s + 1) * (sub // fine), :] = \
+                jax.lax.bitcast_convert_type(_flip(kmin & ~sub_mask),
+                                             jnp.float32)
+            is_ref[s * (sub // fine):(s + 1) * (sub // fine), :] = \
+                row + (base_col + s * sub)
+
+        # ---- level 2: m rounds of min over the fine-bin winners --------
+        fb_mask = nfb - 1                  # nfb is a power of two
+        iota_fb = jax.lax.broadcasted_iota(jnp.int32, (nfb, tq), 0)
+        for t in range(m):
+            vbits = jax.lax.bitcast_convert_type(vs_ref[:], jnp.int32)
+            pkey2 = (_flip(vbits) & ~fb_mask) | iota_fb
+            pmin2 = jnp.min(pkey2, axis=0)                    # (TQ,)
+            win_row = pmin2 & fb_mask
+            eq = iota_fb == win_row[None, :]
+            obits = pmin2 & ~fb_mask
+            val_ref[t, :] = jax.lax.bitcast_convert_type(
+                jnp.where(obits < 0, obits ^ 0x7FFFFFFF, obits),
+                jnp.float32)
+            idx_ref[t, :] = jnp.min(
+                jnp.where(eq, is_ref[:], 0x7FFFFFFF), axis=0)
+            if t + 1 < m:
+                vs_ref[:] = jnp.where(eq, _PINF, vs_ref[:])
+
+    @pl.when(jnp.logical_not(keep))
+    def _():
+        val_ref[:] = jnp.full(val_ref.shape, _PINF, jnp.float32)
+        idx_ref[:] = jnp.full(idx_ref.shape, -1, jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "fine", "m", "sub", "chunk", "tq",
+                     "interpret"),
+)
+def gated_topm_scan(q, x, addvec, tile_mask, *, metric: str = "l2",
+                    fine: int = 128, m: int = 16, sub: int = 1024,
+                    chunk: int = 16384, tq: int = 1024,
+                    interpret: bool = False):
+    """Cluster-gated per-chunk top-m candidates: ``(vals (B, m*n_chunks)
+    f32, ids int32 — positions in x, -1 on skipped cells)``.
+
+    q (B, d) with B a multiple of ``tq`` (caller pads; the mask layout
+    must match); x (n_pad, d) PRESCALED (-2x for l2, -x for ip),
+    cluster-major + fine-interleaved (see search/gated.py); addvec
+    (n_pad,) as in binned_scan; tile_mask (n_chunks * B/tq,) int32,
+    entry ``j * b_tiles + i`` gates corpus chunk j vs query tile i.
+    """
+    B, d = q.shape
+    n_pad = x.shape[0]
+    assert n_pad % chunk == 0 and chunk % sub == 0 and sub % fine == 0
+    assert B % tq == 0, "gated scan needs the caller to pad B to tq"
+    for v, name in ((fine, "fine"), (sub, "sub"), (m, "m")):
+        if v & (v - 1):
+            raise ValueError(f"{name} must be a power of two, got {v}")
+    if m > chunk // fine:
+        raise ValueError(f"m={m} > fine bins per chunk {chunk // fine}")
+    n_chunks = n_pad // chunk
+    b_tiles = B // tq
+    assert tile_mask.shape == (n_chunks * b_tiles,), tile_mask.shape
+
+    kernel = functools.partial(_gated_topm_kernel, sub=sub, fine=fine,
+                               m=m, n_btiles=b_tiles)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks, b_tiles),
+        in_specs=[
+            pl.BlockSpec((tq, d), lambda j, i, *_: (i, 0)),
+            pl.BlockSpec((chunk, d), lambda j, i, *_: (j, 0)),
+            pl.BlockSpec((1, chunk), lambda j, i, *_: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((m, tq), lambda j, i, *_: (j, i)),
+            pl.BlockSpec((m, tq), lambda j, i, *_: (j, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((chunk // fine, tq), jnp.float32),
+            pltpu.VMEM((chunk // fine, tq), jnp.int32),
+        ],
+    )
+    vals, ids = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((m * n_chunks, B), jnp.float32),
+            jax.ShapeDtypeStruct((m * n_chunks, B), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_pad * d,
+            bytes_accessed=(n_pad * d * x.dtype.itemsize * b_tiles
+                            + B * d * 4 + B * m * n_chunks * 8),
+            transcendentals=0),
+        interpret=interpret,
+    )(tile_mask.astype(jnp.int32), q.astype(x.dtype), x,
+      addvec.reshape(1, n_pad).astype(jnp.float32))
+    return vals.T, ids.T
+
+
 class FusedScanIndex:
     """Flat index whose candidate scan is the fused Pallas kernel.
 
