@@ -239,19 +239,24 @@ def _run_sharded(base, base_lo, query, q_lo, gt, ef, args):
     from gbnns_tpu.search.sharded import (build_sharded_index, make_mesh,
                                           sharded_search)
 
+    engine = getattr(args, "sharded_engine", "graph")
     mesh = make_mesh(args.n_devices)
     idx = getattr(args, "_sharded_idx", None)
     if idx is None:
         K = int(getattr(args, "graph_k", 0)) or 32
-        idx = build_sharded_index(base, K, mesh, base_lo=base_lo,
-                                  metric=args.metric)
+        idx = build_sharded_index(
+            base, K, mesh, base_lo=base_lo, metric=args.metric,
+            with_graph=engine in ("graph", "graph_pallas"),
+            with_payload=engine == "graph_pallas",
+            ncent=(args.centroid_entries or 64
+                   if engine == "graph_pallas" else 0))
         args._sharded_idx = idx
 
     def run():
         return sharded_search(idx, q_lo, args.k, ef=ef,
                               num_entries=args.num_entries,
                               max_hops=args.max_hops, metric=args.metric,
-                              queries_full=query)
+                              engine=engine, queries_full=query)
 
     qps, sec, (ids, dists) = time_search(run, q_lo.shape[0], warmup=1, iters=3)
     ids = np.asarray(ids)
@@ -261,7 +266,8 @@ def _run_sharded(base, base_lo, query, q_lo, gt, ef, args):
         label=f"sharded-ef{ef}", ef=ef, qps=qps, latency_ms=sec * 1e3,
         recall_at_1=r1, recall_at_10=r10, n_queries=q_lo.shape[0],
         dist_comps_per_query=float("nan"), hops=-1,
-        extra={"n_devices": args.n_devices, "timing": TIMING_MODE}), ids
+        extra={"n_devices": args.n_devices, "engine": engine,
+               "timing": TIMING_MODE}), ids
 
 
 def cmd_search(args):
@@ -437,6 +443,12 @@ def main(argv=None):
                         dest="centroid_entries",
                         help=">0: per-query k-means entry points "
                              "(value = number of centroids)")
+        sp.add_argument("--sharded-engine", default="graph",
+                        dest="sharded_engine",
+                        choices=["graph", "graph_pallas", "flat", "fused"],
+                        help="per-shard engine for --n-devices runs "
+                             "(graph_pallas = DMA-payload walker + "
+                             "per-shard centroid entries)")
         sp.add_argument("--n-devices", type=int, default=None,
                         dest="n_devices",
                         help=">1: shard base+graph over an ICI mesh "

@@ -61,7 +61,9 @@ class DimRedConfig:
 @dataclasses.dataclass
 class SearchConfig:
     # "graph" (beam walker) | "flat" (XLA MXU scan) | "fused" (Pallas
-    # binned scan) | "ivf" (cluster-pruned scan)
+    # binned scan) | "ivf" (cluster-pruned scan) | "gated" (cluster-gated
+    # Pallas scan, search/gated.py) | "graph_pallas" (sharded runs only:
+    # per-shard DMA-payload walker)
     index: str = "graph"
     k: int = 10                    # final top-k
     efs: tuple[int, ...] = (16, 32, 64, 128, 256)  # recall knob sweep:

@@ -136,7 +136,7 @@ def run_pipeline(cfg: ExperimentConfig) -> dict[str, Any]:
     graph, build_time = (build_graph(cfg, base, base_lo) if needs_graph
                          else (None, 0.0))
 
-    if cfg.search.index == "ivf":
+    if cfg.search.index in ("ivf", "gated"):
         efs = list(cfg.search.efs)  # probes need not cover k (rerank_c does)
     else:
         efs = [e for e in cfg.search.efs if e >= cfg.search.k]
@@ -147,7 +147,7 @@ def run_pipeline(cfg: ExperimentConfig) -> dict[str, Any]:
     cfg.search.efs = tuple(efs)
     if cfg.n_devices and cfg.n_devices > 1:
         results = _sharded_sweep(cfg, base, base_lo, query, query_lo, gt)
-    elif cfg.search.index in ("flat", "fused", "ivf"):
+    elif cfg.search.index in ("flat", "fused", "ivf", "gated"):
         results = _flat_sweep(cfg, base, base_lo, query, query_lo, gt)
     else:
         def run_one(ef):
@@ -230,6 +230,12 @@ def _flat_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
         from gbnns_tpu.kernels.scan_topk_pallas import FusedScanIndex
 
         idx = FusedScanIndex(base, base_lo, metric=cfg.metric)
+    elif kind == "gated":
+        from gbnns_tpu.search.gated import GatedScanIndex
+
+        idx = GatedScanIndex(base, base_lo, metric=cfg.metric,
+                             ncent=cfg.search.ivf_ncent or None,
+                             seed=cfg.seed)
     elif kind == "ivf":
         from gbnns_tpu.search.ivf import IVFIndex
 
@@ -245,6 +251,9 @@ def _flat_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
     for c in cfg.search.efs:
         if kind == "ivf":
             dist_comps = float(c * idx.stats["cap"] + idx.stats["spill"])
+            kw = dict(probes=c, c=cfg.search.rerank_c)
+        elif kind == "gated":
+            dist_comps = float("nan")  # data-dependent (kept cells)
             kw = dict(probes=c, c=cfg.search.rerank_c)
         else:
             dist_comps = float(base.shape[0])
@@ -283,7 +292,10 @@ def _sharded_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
     mesh = make_mesh(cfg.n_devices)
     idx = build_sharded_index(
         base, cfg.graph.k, mesh, base_lo=base_lo, metric=cfg.metric,
-        with_graph=cfg.search.index == "graph",
+        with_graph=cfg.search.index in ("graph", "graph_pallas"),
+        with_payload=cfg.search.index == "graph_pallas",
+        ncent=(cfg.search.centroid_entries or 64
+               if cfg.search.index == "graph_pallas" else 0),
         build_kwargs=dict(chunk=cfg.graph.chunk,
                           node_chunk=cfg.graph.node_chunk,
                           exact=cfg.graph.exact, connect=cfg.graph.connect))
