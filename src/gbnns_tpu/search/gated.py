@@ -9,28 +9,36 @@ lever is computing FEWER scores. IVF does that by bucketing, and loses on
 TPU (45k QPS vs 406k — gather/bucketing overhead, results/BENCH_r02); this
 module does it with zero gathers and fully static shapes:
 
-  offline   k-means the corpus, REORDER it cluster-major (one permutation),
-            record each cluster's [first, last] corpus-chunk span;
-  at query  (1) one thin (B, ncent) centroid matmul; (2) take each query's
-            top-``probes`` clusters; (3) SORT the query batch by primary
-            cluster so nearby queries share tiles; (4) build a per-
-            (corpus-chunk x query-tile) keep mask — a cell is kept iff ANY
-            query in the tile probes ANY cluster in the chunk; (5) run the
-            same binned Pallas scan with whole cells skipped via scalar-
-            prefetched gating, taking each kept chunk's TOP-M candidates
-            in-kernel (kernels.scan_topk_pallas.gated_topm_scan);
-            (6) merge chunk winners -> top-c, permute back to original ids,
-            exact full-dim re-rank, unsort.
+  offline   k-means the corpus into clusters of ~chunk/4 rows, PACK whole
+            clusters into corpus chunks (first-fit decreasing; oversize
+            clusters split at chunk boundaries) so every cluster maps to
+            exactly one chunk, and interleave each chunk's rows across its
+            fine bins; precompute each cluster's ranked neighbor-cluster
+            list (the routing table);
+  at query  (1) one thin (B, ncent) centroid matmul -> PRIMARY cluster
+            per query; (2) the query inherits its primary's top-``probes``
+            neighbor clusters — every same-primary query keeps an
+            IDENTICAL chunk set, so sorting the batch by primary makes
+            per-tile keep-mask unions tight (per-QUERY gating measured
+            12.9% coverage but 97-100% tile union in v1, the round-3
+            diagnostic results/gated_diag_1m.json); (3) run the binned
+            Pallas scan with whole (chunk x query-tile) cells skipped via
+            scalar-prefetched gating, each kept chunk emitting its TOP-M
+            candidates in-kernel (kernels.scan_topk_pallas.
+            gated_topm_scan); (4) merge chunk winners -> top-c in the
+            sorted order, unsort the small (B, c) candidate matrix, and
+            re-rank at full dimension in INPUT order (no full-dim query
+            gathers).
 
-Recall semantics are IVF-probes at chunk granularity (a kept chunk scans
-every row in it, so recall >= an IVF with the same probes); the knob is
-``probes``. Skipped fraction depends on how clustered the corpus and
-queries are — the same property the reference's datasets (SIFT/GIST/GloVe)
-have and the synthetic stand-ins model (SURVEY §8.2.5).
+Recall semantics: IVF with cluster-adjacency routing — the probed set is
+the primary's ``probes`` nearest clusters rather than the query's own
+(the difference is one cluster-quantization of the query; boundary
+queries' primaries list the adjacent clusters first). Knobs: ``probes``
+(clusters scanned) and ``c`` (re-rank pool).
 
-Reference capability: this supersedes nothing — it is the TPU-native
-answer to the reference's "make per-distance cost cheap" goal (SURVEY §1
-item 2) at corpus scale, beyond the reference's own design.
+Reference capability: the TPU-native answer to the reference's "make
+per-distance cost cheap" goal (SURVEY §1 item 2) at corpus scale, beyond
+the reference's own design.
 """
 
 from __future__ import annotations
@@ -44,37 +52,79 @@ import numpy as np
 from gbnns_tpu.kernels.scan_topk_pallas import _round_up, gated_topm_scan
 
 
-@functools.partial(jax.jit, static_argnames=("n_chunks", "tq", "probes"))
-def _plan_queries(ql, cent, cent_sq, clo, chi, *, n_chunks: int, tq: int,
-                  probes: int):
-    """Device-side query planning: sort order + per-tile chunk keep mask.
+def _pack_clusters(assign: np.ndarray, ncent: int, chunk: int):
+    """First-fit-decreasing packing of whole clusters into chunks.
 
-    Returns (order (Bp,) int32 — sorted-query -> padded-input row,
-    tile_mask (n_chunks * Bp/tq,) int32). Padding rows (>= B) sort to the
-    end (primary key ncent) and keep nothing.
+    Returns (slot_of_row (n,) int64 — final corpus position per original
+    row, n_chunks, cluster_chunk_mask (ncent, n_chunks) bool). Oversize
+    clusters are split at chunk boundaries (their mask covers every chunk
+    they touch). Positions not covered by any row are padding.
+    """
+    n = assign.shape[0]
+    sizes = np.bincount(assign, minlength=ncent)
+    order_c = np.argsort(-sizes, kind="stable")      # big clusters first
+    caps: list[int] = []                             # free slots per chunk
+    placed: list[list[tuple[int, int, int]]] = []    # (cluster, lo, count)
+    for c in order_c:
+        size = int(sizes[c])
+        if size == 0:
+            continue
+        off = 0
+        while size > 0:
+            take = min(size, chunk)
+            # first chunk with room for the piece (pieces of an oversize
+            # cluster each take a full chunk except the last)
+            for j, free in enumerate(caps):
+                if free >= take:
+                    break
+            else:
+                caps.append(chunk)
+                placed.append([])
+                j = len(caps) - 1
+            placed[j].append((c, off, take))
+            caps[j] -= take
+            off += take
+            size -= take
+    n_chunks = len(caps)
+    # rows of each cluster in original-corpus order
+    row_of = np.argsort(assign, kind="stable")
+    starts = np.zeros(ncent + 1, np.int64)
+    starts[1:] = np.cumsum(sizes)
+    slot_of_row = np.full(n, -1, np.int64)
+    mask = np.zeros((ncent, n_chunks), bool)
+    for j, pieces in enumerate(placed):
+        pos = j * chunk
+        for c, off, take in pieces:
+            rows = row_of[starts[c] + off:starts[c] + off + take]
+            slot_of_row[rows] = np.arange(pos, pos + take)
+            mask[c, j] = True
+            pos += take
+    return slot_of_row, n_chunks, mask
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunks", "tq", "probes"))
+def _plan_queries(ql, cent, cent_sq, neighbors, chunk_mask, *,
+                  n_chunks: int, tq: int, probes: int):
+    """Sort order + per-tile chunk keep mask via cluster-level routing.
+
+    Returns (order (Bp,) int32 — sorted position -> padded input row,
+    tile_mask (n_chunks * Bp/tq,) int32). Padding rows (>= B) sort last
+    and keep nothing.
     """
     B = ql.shape[0]
-    Bp = order_pad = -(-B // tq) * tq
-    # (B, ncent) centroid distances: ||c||^2 - 2 q.c (per-query constant
-    # ||q||^2 dropped — cannot change a per-query ranking)
-    d = cent_sq[None, :] - 2.0 * (ql @ cent.T)
-    P = min(probes, cent.shape[0])
-    _, top = jax.lax.top_k(-d, P)                       # (B, P) cluster ids
-    primary = top[:, 0].astype(jnp.int32)
+    Bp = -(-B // tq) * tq
     ncent = cent.shape[0]
+    # ||c||^2 - 2 q.c: the per-query ||q||^2 cannot change the argmin
+    d = cent_sq[None, :] - 2.0 * (ql @ cent.T)
+    primary = jnp.argmin(d, axis=1).astype(jnp.int32)        # (B,)
     primary_pad = jnp.full((Bp,), ncent, jnp.int32).at[:B].set(primary)
-    order = jnp.argsort(primary_pad).astype(jnp.int32)  # (Bp,)
+    order = jnp.argsort(primary_pad).astype(jnp.int32)
 
-    # per-query chunk intervals from the probed clusters' spans
-    lo = clo[top]                                        # (B, P)
-    hi = chi[top]
-    j = jnp.arange(n_chunks, dtype=jnp.int32)
-    keep_q = ((j[None, None, :] >= lo[:, :, None])
-              & (j[None, None, :] <= hi[:, :, None])).any(axis=1)  # (B, nc)
+    P = min(probes, neighbors.shape[1])
+    nb = neighbors[primary][:, :P]                           # (B, P)
+    keep_q = chunk_mask[nb].any(axis=1)                      # (B, n_chunks)
     keep_pad = jnp.zeros((Bp, n_chunks), jnp.bool_).at[:B].set(keep_q)
-    keep_sorted = keep_pad[order]                        # (Bp, n_chunks)
-    tile_keep = keep_sorted.reshape(Bp // tq, tq, n_chunks).any(axis=1)
-    # kernel layout: entry j * b_tiles + i
+    tile_keep = keep_pad[order].reshape(Bp // tq, tq, n_chunks).any(axis=1)
     return order, tile_keep.T.reshape(-1).astype(jnp.int32)
 
 
@@ -83,13 +133,13 @@ class GatedScanIndex:
 
     Same (reduced-space scan -> exact full-dim re-rank) contract; two
     recall knobs: ``c`` (re-rank pool, as in FusedScanIndex) and
-    ``probes`` (clusters scanned per query, as in IVF).
+    ``probes`` (neighbor clusters scanned, IVF semantics).
     """
 
     def __init__(self, base_full, base_lo=None, *, metric: str = "l2",
                  ncent: int | None = None, scan_dtype=jnp.bfloat16,
                  fine: int = 32, m: int = 16, sub: int = 1024,
-                 chunk: int = 16384, tq: int = 1024,
+                 chunk: int = 16384, tq: int = 1024, max_probes: int = 64,
                  seed: int = 0, kmeans_iters: int = 8,
                  kmeans_sample: int | None = 262_144):
         from gbnns_tpu.build.kmeans import kmeans_assign, kmeans_fit
@@ -108,36 +158,29 @@ class GatedScanIndex:
         n, d_lo = lo.shape
         self.n = n
         if ncent is None:
-            # default: ~one cluster per corpus chunk. Gating works at chunk
-            # granularity, so chunk-sized clusters maximize skippable cells;
-            # the within-chunk fine bins + top-m handle in-cluster recall.
-            ncent = -(-n // chunk)
+            # clusters of ~chunk/4 rows: small enough that `probes`
+            # clusters cover a few chunks, big enough that a chunk holds
+            # whole clusters (packing keeps spans at exactly 1 chunk)
+            ncent = -(-n // (chunk // 4))
         ncent = max(8, min(ncent, n))
 
         cent = kmeans_fit(lo, ncent, iters=kmeans_iters, seed=seed,
                           sample=kmeans_sample)
         assign = kmeans_assign(lo, cent)
-        order = np.argsort(assign, kind="stable")        # cluster-major
-        assign_s = assign[order]
+        slot_of_row, self.n_chunks, cmask = _pack_clusters(assign, ncent,
+                                                           chunk)
+        n_pad = self.n_chunks * chunk
 
-        n_pad = _round_up(n, chunk)
-        self.n_chunks = n_pad // chunk
-        # Within-chunk fine-bin interleave. Cluster-major order makes a
-        # query's true neighbors CONTIGUOUS — they would share one fine bin,
-        # which keeps a single winner (measured: R@10 0.61 at full probes).
-        # Transposing each chunk's (fine, chunk/fine) position grid sends
-        # consecutive cluster rows to consecutive fine bins while leaving
-        # chunk membership — the gating granularity — unchanged; the
-        # kernel's per-chunk top-m then recovers up to m co-located
-        # neighbors per chunk.
+        # within-chunk fine-bin interleave (see gated_topm_scan): packed
+        # cluster runs are contiguous, and a fine bin keeps one winner —
+        # send consecutive rows to consecutive fine bins instead
         nbc = chunk // fine
-        newpos = np.arange(n_pad)
-        local = newpos % chunk
-        src_local = (local % fine) * nbc + local // fine
-        src = (newpos // chunk) * chunk + src_local
-        order_pad = np.full(n_pad, -1, np.int64)
-        order_pad[:n] = order
-        final_order = order_pad[src]           # (n_pad,) orig id or -1
+        local = slot_of_row % chunk
+        il_local = (local % nbc) * fine + local // nbc
+        slot_il = (slot_of_row // chunk) * chunk + il_local
+
+        final_order = np.full(n_pad, -1, np.int64)
+        final_order[slot_il] = np.arange(n)
         real = final_order >= 0
         self.perm = jnp.asarray(np.where(real, final_order, -1)
                                 .astype(np.int32))  # kernel pos -> orig id
@@ -153,25 +196,13 @@ class GatedScanIndex:
         self.x_lo = jnp.asarray(scale * lo_pad, dtype=scan_dtype)
         self.addvec = jnp.asarray(add)
 
-        # per-cluster chunk span (contiguous after the cluster-major sort)
-        chunk_id = (np.arange(n) // chunk).astype(np.int32)
-        clo = np.full(ncent, self.n_chunks, np.int32)
-        chi = np.full(ncent, -1, np.int32)
-        np.minimum.at(clo, assign_s, chunk_id)
-        np.maximum.at(chi, assign_s, chunk_id)
-        empty = chi < 0
-        if empty.any():
-            # an empty cluster can still be some query's nearest centroid:
-            # inherit the span of its nearest NON-empty cluster so gating
-            # never strands a query with zero kept chunks
-            ne = np.flatnonzero(~empty)
-            d2 = ((cent[empty][:, None, :] - cent[ne][None, :, :]) ** 2
-                  ).sum(-1)
-            nearest = ne[np.argmin(d2, axis=1)]
-            clo[empty] = clo[nearest]
-            chi[empty] = chi[nearest]
-        self.cluster_lo = jnp.asarray(clo)
-        self.cluster_hi = jnp.asarray(chi)
+        # routing table: each cluster's max_probes nearest clusters
+        # (including itself, rank 0) by centroid distance
+        c2 = ((cent[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        P = min(max_probes, ncent)
+        self.neighbors = jnp.asarray(
+            np.argsort(c2, axis=1, kind="stable")[:, :P].astype(np.int32))
+        self.chunk_mask = jnp.asarray(cmask)
         cent_j = jnp.asarray(cent)
         self.cent = cent_j
         self.cent_sq = jnp.sum(cent_j * cent_j, axis=-1)
@@ -179,11 +210,14 @@ class GatedScanIndex:
         self.base_full = jnp.asarray(base_full)          # ORIGINAL order
         self.base_sq = jnp.sum(self.base_full * self.base_full, axis=-1)
         self.interpret = jax.default_backend() != "tpu"
+        pad_frac = 1.0 - n / n_pad
         self.stats = dict(n=n, ncent=int(ncent), n_chunks=self.n_chunks,
-                          empty_clusters=int(empty.sum()))
+                          pack_padding=round(pad_frac, 4),
+                          chunks_per_cluster=round(
+                              float(cmask.sum(1).mean()), 3))
 
     def search(self, queries_full, queries_lo=None, *, k: int = 10,
-               c: int = 32, probes: int = 32, merge: str = "approx",
+               c: int = 32, probes: int = 16, merge: str = "approx",
                return_kept_frac: bool = False):
         from gbnns_tpu.search.rerank import rerank
 
@@ -193,11 +227,10 @@ class GatedScanIndex:
         B = ql.shape[0]
         tq = min(self.tq, _round_up(B, 8 if self.interpret else 128))
         order, tile_mask = _plan_queries(
-            ql, self.cent, self.cent_sq, self.cluster_lo, self.cluster_hi,
+            ql, self.cent, self.cent_sq, self.neighbors, self.chunk_mask,
             n_chunks=self.n_chunks, tq=tq, probes=probes)
         Bp = order.shape[0]
         qlp = jnp.pad(ql, ((0, Bp - B), (0, 0)))[order]
-        qfp = jnp.pad(qf, ((0, Bp - B), (0, 0)))[order]
 
         vals, ids = gated_topm_scan(qlp, self.x_lo, self.addvec,
                                     tile_mask, metric=self.metric,
@@ -211,15 +244,19 @@ class GatedScanIndex:
             _, sel = jax.lax.top_k(-vals, cc)
         cand_pos = jnp.take_along_axis(ids, sel, axis=1)
         sel_vals = jnp.take_along_axis(vals, sel, axis=1)
-        # +inf winners are skipped-cell sentinels (or corpus padding,
+        # +inf winners are skipped-cell sentinels (or packing padding,
         # perm -1): mark invalid so the re-rank's -1 masking drops them
         pid = self.perm[cand_pos]                  # back to original ids
-        cand = jnp.where(jnp.isfinite(sel_vals) & (pid >= 0), pid, -1)
-        ids_s, d_s = rerank(qfp, self.base_full, cand, k,
+        cand_sorted = jnp.where(jnp.isfinite(sel_vals) & (pid >= 0),
+                                pid, -1)
+        # unsort the SMALL (B, c) candidate matrix and re-rank in input
+        # order — full-dim queries never ride through the sort (two
+        # (B, d) gathers saved; the v1 tail measured 35 ms at c=32)
+        inv = jnp.argsort(order)
+        cand = cand_sorted[inv][:B]
+        ids_o, d_o = rerank(qf, self.base_full, cand, k,
                             metric=self.metric, base_sqnorms=self.base_sq)
-        inv = jnp.argsort(order)                   # unsort to input order
-        out = ids_s[inv][:B], d_s[inv][:B]
         if return_kept_frac:
             kept = float(jnp.mean(tile_mask.astype(jnp.float32)))
-            return out[0], out[1], kept
-        return out
+            return ids_o, d_o, kept
+        return ids_o, d_o
