@@ -549,6 +549,12 @@ class FusedScanIndex:
         n, d_lo = lo.shape
         self.n = n
         n_pad = _round_up(n, chunk)
+        # small-corpus guard: one winner per bin means n_pad/bin_size is
+        # the candidate pool ceiling — keep >= ~128 bins so top-10 queries
+        # aren't starved (a 20k corpus at the 1M-tuned bin of 1024 had
+        # only 20 bins: R@10 capped at ~0.8 regardless of c)
+        cap = max(8, 1 << max(3, (n_pad // 128).bit_length() - 1))
+        self.bin_size = bin_size = min(bin_size, cap)
         lo_pad = np.zeros((n_pad, d_lo), np.float32)
         lo_pad[:n] = lo
         if mode == "shifted":
