@@ -27,6 +27,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--b", type=int, default=16384)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--d-lo", type=int, default=32, dest="d_lo")
+    ap.add_argument("--tq", type=int, default=1024)
+    ap.add_argument("--q-chunk", type=int, default=16384, dest="q_chunk")
     ap.add_argument("--ncent", type=int, default=0, help="0 = default")
     ap.add_argument("--fine", type=int, default=32)
     ap.add_argument("--m", type=int, default=16)
@@ -50,13 +54,13 @@ def main():
     n, B = args.n, args.b
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
     data = make_synthetic(SyntheticSpec(
-        n_base=n, n_query=B, dim=128, n_clusters=max(64, n // 2000),
+        n_base=n, n_query=B, dim=args.d, n_clusters=max(64, n // 2000),
         seed=0))
     base, query = data["base"], data["query"]
-    m = pca_fit(base, 32)
+    m = pca_fit(base, args.d_lo)
     base_lo = pca_transform(m, base)
     query_lo = pca_transform(m, query)
-    gt = exact_ground_truth(query, base, k=10, q_chunk=16384)
+    gt = exact_ground_truth(query, base, k=10, q_chunk=args.q_chunk)
     qj, qlo = jnp.asarray(query), jnp.asarray(query_lo)
 
     def timed(run, iters=5):
@@ -84,7 +88,7 @@ def main():
 
     t0 = time.perf_counter()
     gated = GatedScanIndex(base, base_lo, ncent=args.ncent or None,
-                           fine=args.fine, m=args.m)
+                           fine=args.fine, m=args.m, tq=args.tq)
     build_s = time.perf_counter() - t0
     log(f"gated build {build_s:.1f}s stats={gated.stats}")
     for p in args.probes:
@@ -99,7 +103,7 @@ def main():
                          kept_cells=round(kept, 4), qps=round(qps, 1),
                          r1=round(r1, 4), r10=round(r10, 4)))
 
-    out = dict(n=n, B=B, projection="pca-128to32",
+    out = dict(n=n, B=B, projection=f"pca-{args.d}to{args.d_lo}",
                gated_stats=gated.stats, gated_build_s=round(build_s, 1),
                fine=args.fine, m=args.m, timing="pipelined", rows=rows)
     pathlib.Path(args.out).write_text(json.dumps(out, indent=2))

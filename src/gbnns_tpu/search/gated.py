@@ -184,7 +184,7 @@ class GatedScanIndex:
     def __init__(self, base_full, base_lo=None, *, metric: str = "l2",
                  ncent: int | None = None, scan_dtype=jnp.bfloat16,
                  fine: int = 32, m: int = 16, sub: int = 1024,
-                 chunk: int = 16384, tq: int = 1024, max_probes: int = 64,
+                 chunk: int = 16384, tq: int = 512, max_probes: int = 64,
                  seed: int = 0, kmeans_iters: int = 8,
                  kmeans_sample: int | None = 262_144):
         from gbnns_tpu.build.kmeans import kmeans_assign, kmeans_fit
