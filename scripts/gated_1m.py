@@ -57,7 +57,9 @@ def main():
         n_base=n, n_query=B, dim=args.d, n_clusters=max(64, n // 2000),
         seed=0))
     base, query = data["base"], data["query"]
-    m = pca_fit(base, args.d_lo)
+    # PCA is corpus-statistics-bound, not n-bound: fit on <=1M rows (at
+    # 10M a full fit cost 599s of H2D streaming, deep10m_single_chip.json)
+    m = pca_fit(base[:: max(1, n // 1_000_000)], args.d_lo)
     base_lo = pca_transform(m, base)
     query_lo = pca_transform(m, query)
     gt = exact_ground_truth(query, base, k=10, q_chunk=args.q_chunk)
