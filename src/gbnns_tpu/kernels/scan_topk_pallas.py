@@ -530,10 +530,15 @@ class FusedScanIndex:
 
     def __init__(self, base_full, base_lo=None, *, metric: str = "l2",
                  scan_dtype=jnp.bfloat16, bin_size: int = 1024,
-                 chunk: int = 16384, tq: int = 1024, packed: bool = True,
+                 chunk: int = 16384, tq: int = 1024, packed: bool = False,
                  mode: str = "binned"):
         # tq=1024 measured +2.5% over 512 at 1M (fewer corpus reloads:
         # b_tiles halves); chunk>16384 exceeds the 16MB VMEM budget.
+        # packed=False (plain min+argmin) measured ~7% faster than the
+        # packed int-key epilogue at 1M x 16k (28.16 vs 30.30 ms/batch —
+        # Mosaic fuses the min/argmin pair; results/epilogue_study_1m.md):
+        # the round-2 op-count model that motivated packing was wrong, the
+        # kernel is MXU-output-rate-bound and the epilogue overlaps it.
         self.packed = packed
         if metric not in ("l2", "ip", "angular"):
             raise ValueError(f"unknown metric {metric!r}")
