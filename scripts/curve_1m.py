@@ -5,7 +5,7 @@ recorded scalar bests at 1M. This script sweeps every engine's recall
 knob at n=1M with the triplet-learned 128->32 projection on one corpus
 and one query batch:
 
-  fused   c in {8, 16, 32, 64}          (Pallas binned scan)
+  fused   c in {12, 16, 32, 64}         (Pallas binned scan)
   gated   probes in {8, 16, 24, 32}     (cluster-gated scan, c=32)
   flat    c in {16, 32}                 (XLA scan + approx_max_k)
   ivf     probes in {8, 16, 32}         (cluster-pruned scan, c=32)
@@ -118,7 +118,7 @@ def main():
     t0 = time.perf_counter()
     fused = FusedScanIndex(base, base_lo)
     log(f"fused build {time.perf_counter() - t0:.1f}s")
-    for c in (8, 16, 32, 64):
+    for c in (12, 16, 32, 64):  # pool must cover k=10
         qps, lat, r1, r10 = timed(
             lambda c=c: fused.search(qj, qlo, k=10, c=c, merge="approx"))
         record("fused", "c", c, qps, lat, r1, r10)
