@@ -11,8 +11,10 @@ from __future__ import annotations
 
 import json
 
-# Fixed-order categorical slots (validated palette reference instance).
-_SERIES = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100"]
+# Fixed-order categorical slots (validated palette reference instance;
+# slots 5-6 extend it for the 6-engine comparison plots).
+_SERIES = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100",
+           "#8553d7", "#c23d5e"]
 _INK = "#1a1a19"
 _MUTED = "#8a897f"
 _GRID = "#e5e4dd"
