@@ -59,11 +59,24 @@ def main():
     base, query = data["base"], data["query"]
     pm = pca_fit(base, 32)
     base_lo = pca_transform(pm, base)
-    proj = lambda q: pca_transform(pm, q)
+    # device-side projection: pca_transform round-trips through host
+    # (np.asarray in/out), which would add a D2H + H2D to every dispatch;
+    # the service uploads queries once and projects on device.
+    import jax
+    import jax.numpy as jnp2
+    pmean = jnp2.asarray(pm.mean)
+    pcomp = jnp2.asarray(pm.components)
+    proj = jax.jit(lambda q: (jnp2.asarray(q) - pmean[None, :]) @ pcomp)
     gt = exact_ground_truth(query, base, k=10, q_chunk=8192)
 
     svc = SearchService(base, base_lo, engine=args.engine, c=32,
-                        max_batch=8192, max_wait_ms=2.0, projection=proj)
+                        # 10 ms coalesce window: requests arrive staggered
+                        # over ~100 ms; at 2 ms the dispatcher issued many
+                        # small batches, each paying the ~26 ms fixed H2D
+                        max_batch=8192, max_wait_ms=10.0, projection=proj)
+    t0 = time.perf_counter()
+    nb = svc.warm(k=10)
+    log(f"warmed {nb} shape buckets in {time.perf_counter() - t0:.1f}s")
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
     port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()

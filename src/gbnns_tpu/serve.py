@@ -64,7 +64,11 @@ class SearchService:
         self.engine = engine
         self.ef = ef
         self.c = c
-        self.projection = projection  # optional callable full-d -> low-d
+        # optional callable full-d -> low-d; called with the DEVICE-resident
+        # query batch (one upload per dispatch) — keep it device-side
+        # (jnp ops / jit); a host round-tripping projection adds a
+        # D2H + H2D to every dispatch on this ~45 MB/s relay link.
+        self.projection = projection
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self._q: "queue.Queue[_Pending]" = queue.Queue()
@@ -109,18 +113,48 @@ class SearchService:
         # Warm the engine before serving: the first search pays jit compile
         # plus the relay round trip (>30 s for the Pallas engines at 1M),
         # which would otherwise expire the first requests' submit timeout.
+        self._d_full = np.asarray(base).shape[1]
+        self._d_lo = (np.asarray(base_lo).shape[1]
+                      if base_lo is not None else None)
         try:
-            d = np.asarray(base).shape[1]
-            dq = np.zeros((8, d), np.float32)
-            dlo = None
-            if base_lo is not None:
-                dlo = np.zeros((8, np.asarray(base_lo).shape[1]), np.float32)
+            dq = np.zeros((8, self._d_full), np.float32)
+            dlo = (np.zeros((8, self._d_lo), np.float32)
+                   if self._d_lo is not None else None)
             self._search(dq, dlo, 1)
         except Exception:
             pass  # warmup is best-effort; real requests surface real errors
 
+        # Pipelined dispatch: the dispatcher issues device batches without
+        # blocking (XLA dispatch is async) and hands them to a completion
+        # thread that pays the device->host transfer (~26 ms relay RTT
+        # each). With per-batch blocking those RTTs serialize with compute
+        # and cap the service at ~1/(RTT+compute); overlapped, the floor
+        # is max(RTT, compute). Bounded depth = backpressure (the relay
+        # wedges past ~100 queued executions; 4 in flight is plenty).
+        self._inflight: "queue.Queue[tuple]" = queue.Queue(maxsize=4)
         self._dispatcher = threading.Thread(target=self._run, daemon=True)
         self._dispatcher.start()
+        self._completer = threading.Thread(target=self._complete, daemon=True)
+        self._completer.start()
+
+    def warm(self, k: int = 10, *, with_lo: bool | None = None) -> int:
+        """Compile every query-shape bucket up to ``max_batch`` before
+        taking traffic. Coalesced batch sizes vary request to request, so
+        each power-of-two bucket is a distinct jit program (~12-20 s
+        compile for the Pallas engines at 1M on this relay) — without
+        pre-warming those compiles land inside live requests (measured:
+        p95 21 s mid-benchmark). Returns the number of buckets warmed."""
+        if with_lo is None:
+            with_lo = self._d_lo is not None and self.projection is None
+        bucket, warmed = 256, 0
+        while bucket <= self.max_batch:
+            q = np.zeros((bucket, self._d_full), np.float32)
+            qlo = (np.zeros((bucket, self._d_lo), np.float32)
+                   if with_lo else None)
+            self._search(q, qlo, k)
+            warmed += 1
+            bucket *= 2
+        return warmed
 
     def submit(self, queries: np.ndarray, queries_lo, k: int,
                timeout: float = 30.0):
@@ -157,8 +191,6 @@ class SearchService:
         return batch
 
     def _run(self):
-        import jax
-
         while not self._stop.is_set():
             try:
                 batch = self._drain()
@@ -169,9 +201,23 @@ class SearchService:
                 qlos = (np.concatenate([p.queries_lo for p in batch])
                         if batch[0].queries_lo is not None else None)
                 k = max(p.k for p in batch)
-                ids, dists = self._search(qs, qlos, k)
-                ids = np.asarray(ids)
-                dists = np.asarray(dists)
+                ids, dists, m = self._search_device(qs, qlos, k)
+            except Exception as e:  # deliver dispatch errors to waiters
+                for p in batch:
+                    p.error = f"{type(e).__name__}: {e}"
+                    p.event.set()
+                continue
+            self._inflight.put((batch, ids, dists))
+
+    def _complete(self):
+        while not self._stop.is_set():
+            try:
+                batch, ids, dists = self._inflight.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            try:
+                ids = np.asarray(ids)    # blocks until the device batch
+                dists = np.asarray(dists)  # lands; overlaps next dispatch
                 off = 0
                 for p in batch:
                     m = p.queries.shape[0]
@@ -185,8 +231,12 @@ class SearchService:
                     p.event.set()
 
     def _search(self, queries, queries_lo, k):
-        if queries_lo is None and self.projection is not None:
-            queries_lo = self.projection(queries)
+        ids, dists, m = self._search_device(queries, queries_lo, k)
+        return np.asarray(ids)[:m], np.asarray(dists)[:m]
+
+    def _search_device(self, queries, queries_lo, k):
+        import jax.numpy as jnp
+
         # shape bucketing: jit compiles one program per query-batch shape,
         # and a coalesced batch's size varies request to request (~12 s
         # compile each on this relay). Pad to the next power-of-two bucket
@@ -202,8 +252,15 @@ class SearchService:
             if queries_lo is not None:
                 queries_lo = np.concatenate(
                     [queries_lo, np.repeat(queries_lo[-1:], pad, axis=0)])
+        # ONE host->device upload per dispatch: the relay link runs at
+        # ~26 ms + ~22 ms/MB, so uploading full-d queries for the
+        # projection and again for the engine doubled the serving floor.
+        # Project on device from the same uploaded array instead.
+        queries = jnp.asarray(queries, dtype=jnp.float32)
+        if queries_lo is None and self.projection is not None:
+            queries_lo = self.projection(queries)
         ids, dists = self._search_exact(queries, queries_lo, k)
-        return np.asarray(ids)[:m], np.asarray(dists)[:m]
+        return ids, dists, m
 
     def _search_exact(self, queries, queries_lo, k):
         if self.engine == "fused":
