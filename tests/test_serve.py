@@ -192,3 +192,62 @@ def test_serve_fused_engine(fixture_data, fixture_gt):
         assert r10 > 0.85
     finally:
         svc.stop()
+
+
+def test_warm_buckets(fixture_data):
+    """warm() compiles every power-of-two shape bucket up to max_batch."""
+    base, query = fixture_data
+    svc = SearchService(base, max_batch=512)
+    try:
+        assert svc.warm(k=5) == 2  # buckets 256, 512
+        ids, _ = svc.submit(query[:7], None, 5)
+        assert ids.shape == (7, 5)
+    finally:
+        svc.stop()
+
+
+def test_pipelined_dispatch_many_batches(fixture_data, fixture_gt):
+    """Many concurrent variable-size submits drain through the bounded
+    in-flight queue; every waiter gets its own correctly-sliced rows."""
+    from gbnns_tpu.eval.recall import recall_at_k
+
+    base, query = fixture_data
+    svc = SearchService(base, max_batch=256, max_wait_ms=1.0)
+    sizes = [1, 3, 8, 17, 32, 24, 5, 2, 15, 11, 9]  # sums to 127 <= n_query
+    offs = np.cumsum([0] + sizes)
+    results = {}
+
+    def call(i):
+        q = query[offs[i]:offs[i] + sizes[i]]
+        results[i] = svc.submit(q, None, 10)
+
+    try:
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(len(sizes))]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        assert set(results) == set(range(len(sizes)))
+        for i, m in enumerate(sizes):
+            ids, dists = results[i]
+            assert ids.shape == (m, 10)
+            r10 = recall_at_k(np.asarray(ids),
+                              fixture_gt[offs[i]:offs[i] + m], 10)
+            assert r10 >= 0.9, (i, r10)
+            assert (np.diff(np.asarray(dists), axis=1) >= -1e-5).all()
+    finally:
+        svc.stop()
+
+
+def test_dispatch_errors_delivered_to_waiters(fixture_data):
+    """An engine failure surfaces as RuntimeError on the submitting
+    thread instead of hanging the request."""
+    base, query = fixture_data
+    svc = SearchService(base)
+    try:
+        def boom(queries, queries_lo, k):
+            raise ValueError("engine exploded")
+        svc._search_device = boom
+        with pytest.raises(RuntimeError, match="engine exploded"):
+            svc.submit(query[:4], None, 5)
+    finally:
+        svc.stop()
