@@ -284,12 +284,12 @@ def shifted_scan(q_aug, x_aug, *, bin_size: int = 1024, chunk: int = 16384,
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "bin_size", "chunk", "tq", "interpret",
-                     "packed", "prescaled"),
+                     "packed", "prescaled", "transpose"),
 )
 def binned_scan(q, x, addvec, qshift=None, *, metric: str = "l2",
                 bin_size: int = 1024, chunk: int = 16384, tq: int = 512,
                 interpret: bool = False, packed: bool = True,
-                prescaled: bool = False):
+                prescaled: bool = False, transpose: bool = True):
     """Bin winners of the full scan: ``(vals (B, n_bins) f32, ids int32)``.
 
     q (B, d) — cast to x.dtype inside; x (n_pad, d) with n_pad a multiple
@@ -346,6 +346,10 @@ def binned_scan(q, x, addvec, qshift=None, *, metric: str = "l2",
             transcendentals=0),
         interpret=interpret,
     )(qp, x, addvec.reshape(1, n_pad).astype(jnp.float32), qs)
+    if not transpose:
+        # bin-major raw output for merge_topc (padding queries beyond B are
+        # garbage columns the caller slices off after the merge)
+        return vals, ids
     # back to query-major for the final merge (cheap: (n_bins, B) transpose)
     return vals[:, :B].T, ids[:, :B].T
 
@@ -520,6 +524,99 @@ def gated_topm_scan(q, x, addvec, tile_mask, *, metric: str = "l2",
     return vals.T, ids.T
 
 
+def _merge_topc_kernel(val_ref, idx_ref, oval_ref, oidx_ref, ks_ref, *,
+                       c: int, rb: int):
+    """Top-c extraction over one (rb, tq) block of bin winners.
+
+    Consumes the scan kernel's NATIVE bin-major layout — no (n_bins, B)
+    transpose, no wide ``lax.top_k``. Same packed-key min-extract pattern
+    as ``_gated_topm_kernel`` level 2: the f32 score's IEEE bits are
+    flipped into signed-int total order, the low ``log2(rb)`` bits are
+    replaced by the in-block row index (score quantized ~2^-13 relative —
+    absorbed by the exact re-rank like the scan's packed mode), then each
+    of the c rounds is one sublane integer min + a one-hot id extract +
+    a winner mask-out. Padding rows carry +inf scores and id -1, so they
+    only surface when a query has fewer than c real candidates — the
+    re-rank masks id<0 slots.
+    """
+    mask = rb - 1
+    bits = jax.lax.bitcast_convert_type(val_ref[:], jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, val_ref.shape, 0)
+    ks_ref[:] = (_flip(bits) & ~mask) | iota
+    for t in range(c):
+        pmin = jnp.min(ks_ref[:], axis=0)
+        eq = iota == (pmin & mask)[None, :]
+        oval_ref[t, :] = jax.lax.bitcast_convert_type(
+            _flip(pmin & ~mask), jnp.float32)
+        oidx_ref[t, :] = jnp.min(
+            jnp.where(eq, idx_ref[:], 0x7FFFFFFF), axis=0)
+        if t + 1 < c:
+            ks_ref[:] = jnp.where(eq, 0x7FFFFFFF, ks_ref[:])
+
+
+def _merge_topc_stage(vals, ids, c: int, rb: int, tq: int, interpret: bool):
+    """One gridded pass: (R, Bp) bin-major winners → (c * r_blocks, Bp)."""
+    R, Bp = vals.shape
+    R_pad = _round_up(R, rb)
+    if R_pad != R:
+        vals = jnp.pad(vals, ((0, R_pad - R), (0, 0)),
+                       constant_values=_PINF)
+        ids = jnp.pad(ids, ((0, R_pad - R), (0, 0)), constant_values=-1)
+    r_blocks = R_pad // rb
+    b_tiles = Bp // tq
+    kernel = functools.partial(_merge_topc_kernel, c=c, rb=rb)
+    return pl.pallas_call(
+        kernel,
+        grid=(r_blocks, b_tiles),
+        in_specs=[
+            pl.BlockSpec((rb, tq), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, tq), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((c, tq), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, tq), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c * r_blocks, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((c * r_blocks, Bp), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((rb, tq), jnp.int32)],
+        interpret=interpret,
+    )(vals, ids)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "valid_b", "rb", "tq",
+                                             "interpret"))
+def merge_topc(vals, ids, c: int, *, valid_b: int, rb: int = 512,
+               tq: int = 512, interpret: bool = False):
+    """Top-c merge of bin-major scan winners: ``vals/ids (n_bins, Bp)``
+    (from ``binned_scan(..., transpose=False)``) → ``(vals (B, c) f32,
+    ids (B, c) int32)``, candidates sorted ascending by (quantized) score.
+
+    Hierarchical when n_bins > rb: each stage reduces rb-row blocks to
+    their top-c, recursing until one block remains (10M at bin=1024 is
+    9766 bins → 2 stages). c is rounded up to 8 in-kernel so output
+    blocks satisfy the (8, 128) f32 tile constraint.
+    """
+    ck = _round_up(max(c, 8), 8)
+    if ck * 2 > rb:
+        raise ValueError(f"c={c} too large for rb={rb} (needs ck*2 <= rb)")
+    Bp = vals.shape[1]
+    if Bp % tq:
+        pad = _round_up(Bp, tq) - Bp
+        vals = jnp.pad(vals, ((0, 0), (0, pad)))
+        ids = jnp.pad(ids, ((0, 0), (0, pad)))
+    while True:
+        vals, ids = _merge_topc_stage(vals, ids, ck, rb, tq, interpret)
+        if vals.shape[0] == ck:
+            break
+    return vals[:c, :valid_b].T, ids[:c, :valid_b].T
+
+
 class FusedScanIndex:
     """Flat index whose candidate scan is the fused Pallas kernel.
 
@@ -554,11 +651,12 @@ class FusedScanIndex:
         n, d_lo = lo.shape
         self.n = n
         n_pad = _round_up(n, chunk)
-        # small-corpus guard: one winner per bin means n_pad/bin_size is
-        # the candidate pool ceiling — keep >= ~128 bins so top-10 queries
-        # aren't starved (a 20k corpus at the 1M-tuned bin of 1024 had
-        # only 20 bins: R@10 capped at ~0.8 regardless of c)
-        cap = max(8, 1 << max(3, (n_pad // 128).bit_length() - 1))
+        # small-corpus guard: one winner per bin means n/bin_size is the
+        # candidate pool ceiling — keep >= ~128 REAL bins so top-10
+        # queries aren't starved (a 20k corpus at the 1M-tuned bin of 1024
+        # had only 20 bins: R@10 capped at ~0.8 regardless of c; counting
+        # n_pad here over-credited padding bins, whose winners are +inf)
+        cap = max(8, 1 << max(3, (n // 128).bit_length() - 1))
         self.bin_size = bin_size = min(bin_size, cap)
         lo_pad = np.zeros((n_pad, d_lo), np.float32)
         lo_pad[:n] = lo
@@ -588,10 +686,16 @@ class FusedScanIndex:
 
     def search(self, queries_full, queries_lo=None, *, k: int = 10,
                c: int = 32, merge: str = "exact"):
-        """``merge="approx"`` selects the c re-rank candidates from the bin
-        winners with ``approx_max_k`` instead of exact top_k — measured
-        +7% QPS for -0.4% R@10 at 1M/c=16 (the exact 977-wide top_k costs
-        12 ms of the 47 ms batch); bump c one notch to recover recall."""
+        """``merge`` selects how the c re-rank candidates come out of the
+        bin winners:
+
+        * ``"pallas"`` (fastest) — ``merge_topc``: packed-key min-extract
+          rounds over the scan's native bin-major layout; skips the
+          (n_bins, B) transpose AND the wide top_k entirely.
+        * ``"approx"`` — ``approx_max_k`` over the transposed winners:
+          measured +7% QPS for -0.4% R@10 at 1M/c=16 vs exact.
+        * ``"exact"`` — ``lax.top_k`` (12 ms of the 47 ms round-2 batch).
+        """
         from gbnns_tpu.search.rerank import rerank
 
         qf = jnp.asarray(queries_full, dtype=jnp.float32)
@@ -602,6 +706,19 @@ class FusedScanIndex:
             vals, ids = shifted_scan(q_aug, self.x_aug,
                                      bin_size=self.bin_size, chunk=self.chunk,
                                      tq=self.tq, interpret=self.interpret)
+        elif merge == "pallas":
+            raw_v, raw_i = binned_scan(ql, self.x_lo, self.addvec,
+                                       metric=self.metric,
+                                       bin_size=self.bin_size,
+                                       chunk=self.chunk, tq=self.tq,
+                                       interpret=self.interpret,
+                                       packed=self.packed, prescaled=True,
+                                       transpose=False)
+            cc = min(c, raw_v.shape[0])
+            _, cand = merge_topc(raw_v, raw_i, cc, valid_b=ql.shape[0],
+                                 interpret=self.interpret)
+            return rerank(qf, self.base_full, cand, k, metric=self.metric,
+                          base_sqnorms=self.base_sq)
         else:
             vals, ids = binned_scan(ql, self.x_lo, self.addvec,
                                     metric=self.metric, bin_size=self.bin_size,

@@ -25,10 +25,12 @@ def rerank(queries_full, base_full, candidate_ids, k: int, *,
     """Re-score ``candidate_ids (B, C)`` with exact full-dim distances and
     return the top ``k``: ``(ids (B,k) int32, dists (B,k) float32)``.
 
-    Slots with id < 0 (unfilled pool entries) are excluded. Duplicate ids in
-    a row (possible under the walker's "beam" visited mode after evictions)
-    would inflate recall@k if both copies survived; they are masked so each
-    id is counted once.
+    Slots with id < 0 (unfilled pool entries) or id >= n (padding-bin
+    winners of the fused scan on corpora smaller than c bins — ``jnp.take``
+    would clamp them onto row n-1 with a REAL distance otherwise) are
+    excluded. Duplicate ids in a row (possible under the walker's "beam"
+    visited mode after evictions) would inflate recall@k if both copies
+    survived; they are masked so each id is counted once.
     """
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}")
@@ -50,7 +52,8 @@ def rerank(queries_full, base_full, candidate_ids, k: int, *,
                 & (jnp.arange(C)[None, None, :] < jnp.arange(C)[None, :, None]),
                 axis=-1) == 0
     )
-    valid = (candidate_ids >= 0) & first_occurrence
+    valid = ((candidate_ids >= 0) & (candidate_ids < base_full.shape[0])
+             & first_occurrence)
     dists = jnp.where(valid, dists, jnp.inf)
     neg_d, sel = jax.lax.top_k(-dists, k)
     top_ids = jnp.take_along_axis(candidate_ids, sel, axis=1)

@@ -156,3 +156,64 @@ def test_prescaled_matches_unscaled():
     assert (np.asarray(i0) == np.asarray(i1)).mean() > 0.995
     np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-3,
                                atol=1e-3)
+
+
+def test_merge_topc_matches_exact_topk():
+    from gbnns_tpu.kernels.scan_topk_pallas import merge_topc
+
+    x, q = _mk(seed=5)
+    add = (x ** 2).sum(-1).astype(np.float32)
+    xb = jnp.asarray(x, dtype=jnp.bfloat16)
+    raw_v, raw_i = binned_scan(jnp.asarray(q), xb, jnp.asarray(add),
+                               bin_size=128, chunk=512, tq=64,
+                               interpret=True, packed=False,
+                               transpose=False)
+    B = q.shape[0]
+    mv, mi = merge_topc(raw_v, raw_i, 10, valid_b=B, interpret=True)
+    assert mv.shape == (B, 10) and mi.shape == (B, 10)
+    # oracle: exact stable top-10 of the same bin winners
+    tv = np.asarray(raw_v)[:, :B].T
+    ti = np.asarray(raw_i)[:, :B].T
+    sel = np.argsort(tv, axis=1, kind="stable")[:, :10]
+    oids = np.take_along_axis(ti, sel, axis=1)
+    ovals = np.take_along_axis(tv, sel, axis=1)
+    agree = np.asarray(mi) == oids
+    assert agree.mean() > 0.99          # quantization ties at the boundary
+    np.testing.assert_allclose(np.asarray(mv)[agree], ovals[agree],
+                               rtol=2e-4, atol=2e-4)
+    # candidates come out sorted ascending by (quantized) score
+    assert (np.diff(np.asarray(mv), axis=1) >= -1e-3).all()
+
+
+def test_merge_topc_hierarchical_two_stage():
+    from gbnns_tpu.kernels.scan_topk_pallas import merge_topc
+
+    # 64 bins with rb=32 forces two reduction stages (64 -> 2*ck -> ck)
+    x, q = _mk(n=4096, seed=7)
+    add = (x ** 2).sum(-1).astype(np.float32)
+    xb = jnp.asarray(x, dtype=jnp.bfloat16)
+    raw_v, raw_i = binned_scan(jnp.asarray(q), xb, jnp.asarray(add),
+                               bin_size=64, chunk=512, tq=64,
+                               interpret=True, packed=False,
+                               transpose=False)
+    assert raw_v.shape[0] == 64
+    B = q.shape[0]
+    mv, mi = merge_topc(raw_v, raw_i, 8, valid_b=B, rb=32, tq=64,
+                        interpret=True)
+    tv = np.asarray(raw_v)[:, :B].T
+    ti = np.asarray(raw_i)[:, :B].T
+    sel = np.argsort(tv, axis=1, kind="stable")[:, :8]
+    oids = np.take_along_axis(ti, sel, axis=1)
+    assert (np.asarray(mi) == oids).mean() > 0.99
+
+
+def test_fused_index_merge_pallas_end_to_end(fixture_data, fixture_gt):
+    base, query = fixture_data
+    idx = FusedScanIndex(base, bin_size=32, chunk=256, tq=64)
+    ids_p, dists_p = idx.search(query, k=10, c=64, merge="pallas")
+    ids_e, _ = idx.search(query, k=10, c=64, merge="exact")
+    assert recall_at_k(np.asarray(ids_p), fixture_gt, 10) > 0.90
+    # both merges feed the same exact re-rank: results agree up to
+    # quantization ties at the pool boundary
+    assert (np.asarray(ids_p) == np.asarray(ids_e)).mean() > 0.98
+    assert (np.diff(np.asarray(dists_p), axis=1) >= -1e-5).all()
