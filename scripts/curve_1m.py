@@ -120,8 +120,8 @@ def main():
     log(f"fused build {time.perf_counter() - t0:.1f}s")
     for c in (12, 16, 32, 64):  # pool must cover k=10
         qps, lat, r1, r10 = timed(
-            lambda c=c: fused.search(qj, qlo, k=10, c=c, merge="approx"))
-        record("fused", "c", c, qps, lat, r1, r10)
+            lambda c=c: fused.search(qj, qlo, k=10, c=c, merge="pallas"))
+        record("fused", "c", c, qps, lat, r1, r10, merge="pallas")
 
     t0 = time.perf_counter()
     gated = GatedScanIndex(base, base_lo)

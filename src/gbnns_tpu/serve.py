@@ -265,7 +265,7 @@ class SearchService:
     def _search_exact(self, queries, queries_lo, k):
         if self.engine == "fused":
             return self.fused.search(queries, queries_lo, k=k,
-                                     c=max(self.c, k), merge="approx")
+                                     c=max(self.c, k), merge="pallas")
         if self.engine == "graph_pallas":
             return self.gidx.search(queries, queries_lo, k=k,
                                     ef=max(self.ef, k),

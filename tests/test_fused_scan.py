@@ -207,6 +207,22 @@ def test_merge_topc_hierarchical_two_stage():
     assert (np.asarray(mi) == oids).mean() > 0.99
 
 
+def test_fused_index_merge_pallas_angular(fixture_data):
+    """merge='pallas' under the angular metric (binned mode): agrees with
+    merge='exact' — the packed-key merge is metric-agnostic (scores are
+    already metric-shaped when they leave the scan)."""
+    base, query = fixture_data
+    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    qn = query / np.linalg.norm(query, axis=1, keepdims=True)
+    idx = FusedScanIndex(bn, metric="angular", bin_size=32, chunk=256, tq=64)
+    ids_p, _ = idx.search(qn, k=10, c=64, merge="pallas")
+    ids_e, _ = idx.search(qn, k=10, c=64, merge="exact")
+    d2 = -(qn @ bn.T)
+    gt = np.argsort(d2, axis=1, kind="stable")[:, :10].astype(np.int32)
+    assert recall_at_k(np.asarray(ids_p), gt, 10) > 0.9
+    assert (np.asarray(ids_p) == np.asarray(ids_e)).mean() > 0.98
+
+
 def test_fused_index_merge_pallas_end_to_end(fixture_data, fixture_gt):
     base, query = fixture_data
     idx = FusedScanIndex(base, bin_size=32, chunk=256, tq=64)
