@@ -685,17 +685,25 @@ class FusedScanIndex:
         self.interpret = jax.default_backend() != "tpu"
 
     def search(self, queries_full, queries_lo=None, *, k: int = 10,
-               c: int = 32, merge: str = "exact"):
+               c: int = 32, merge: str | None = None):
         """``merge`` selects how the c re-rank candidates come out of the
         bin winners:
 
         * ``"pallas"`` (fastest) — ``merge_topc``: packed-key min-extract
           rounds over the scan's native bin-major layout; skips the
-          (n_bins, B) transpose AND the wide top_k entirely.
+          (n_bins, B) transpose AND the wide top_k entirely (28.84 vs
+          35.27 ms/batch at 1M x 16k, results/tail_decomp_1m.jsonl).
         * ``"approx"`` — ``approx_max_k`` over the transposed winners:
           measured +7% QPS for -0.4% R@10 at 1M/c=16 vs exact.
         * ``"exact"`` — ``lax.top_k`` (12 ms of the 47 ms round-2 batch).
+        * ``None`` (default) — "pallas" on TPU, "exact" under interpret
+          (interpret-mode pallas is orders slower than lax.top_k on CPU).
+
+        All three feed the same exact full-dim re-rank, so results agree
+        up to quantization ties at the pool boundary.
         """
+        if merge is None:
+            merge = "exact" if self.interpret else "pallas"
         from gbnns_tpu.search.rerank import rerank
 
         qf = jnp.asarray(queries_full, dtype=jnp.float32)
