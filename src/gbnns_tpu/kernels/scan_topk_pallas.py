@@ -43,7 +43,7 @@ def _round_up(a: int, m: int) -> int:
 
 def _scan_kernel(q_ref, x_ref, add_ref, qs_ref, val_ref, idx_ref, *,
                  n_bins_c: int, bin_size: int, l2: bool, packed: bool,
-                 prescaled: bool, shifted: bool):
+                 prescaled: bool, shifted: bool, quant: bool = False):
     """One (corpus-chunk, query-tile) cell: bin-reduced scores.
 
     Scores are computed transposed — (BIN, TQ), corpus rows on sublanes —
@@ -74,9 +74,20 @@ def _scan_kernel(q_ref, x_ref, add_ref, qs_ref, val_ref, idx_ref, *,
         xb = x_ref[b * bin_size:(b + 1) * bin_size, :]
         dots = jax.lax.dot_general(
             xb, q, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (BIN, TQ)
+            preferred_element_type=jnp.int32 if quant
+            else jnp.float32)                            # (BIN, TQ)
         addb = add_ref[0, b * bin_size:(b + 1) * bin_size]
-        if prescaled:
+        if quant:
+            # int8 x int8 -> int32 MXU contraction; qs_ref carries the
+            # PER-QUERY dequantization factor alpha = -2/(sx*sq) (l2) or
+            # -1/(sx*sq) (ip). A per-query positive scale on the dot term
+            # cannot change that query's ranking, so per-query quantization
+            # is exact for selection; the absolute error (int8 rounding of
+            # x and q) is absorbed by the full-dim re-rank exactly like the
+            # bf16 path's rounding.
+            scores = addb[:, None] + (dots.astype(jnp.float32)
+                                      * qs_ref[0, :][None, :])
+        elif prescaled:
             # corpus stored as -2x (l2) / -x (ip): the scale rides in the
             # matmul (an exact bf16 exponent shift), saving one VPU pass
             # over every score — the selection epilogue is this kernel's
@@ -284,17 +295,23 @@ def shifted_scan(q_aug, x_aug, *, bin_size: int = 1024, chunk: int = 16384,
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "bin_size", "chunk", "tq", "interpret",
-                     "packed", "prescaled", "transpose"),
+                     "packed", "prescaled", "transpose", "quant"),
 )
 def binned_scan(q, x, addvec, qshift=None, *, metric: str = "l2",
                 bin_size: int = 1024, chunk: int = 16384, tq: int = 512,
                 interpret: bool = False, packed: bool = True,
-                prescaled: bool = False, transpose: bool = True):
+                prescaled: bool = False, transpose: bool = True,
+                quant: bool = False):
     """Bin winners of the full scan: ``(vals (B, n_bins) f32, ids int32)``.
 
     q (B, d) — cast to x.dtype inside; x (n_pad, d) with n_pad a multiple
     of ``chunk``; addvec (n_pad,) f32 — ``‖x‖²`` for L2 (+inf on padding),
     or 0/+inf for ip/angular.
+
+    ``quant=True``: int8 scan — q and x are int8, the MXU contracts to
+    int32, and ``qshift`` carries the per-query dequantization factor
+    (alpha) instead of a shift; addvec is the norm of the DEQUANTIZED
+    corpus so scores are exact distances of the quantized vectors.
     """
     B, d = q.shape
     n_pad = x.shape[0]
@@ -305,16 +322,19 @@ def binned_scan(q, x, addvec, qshift=None, *, metric: str = "l2",
     Bp = _round_up(B, tq)
     qp = jnp.pad(q, ((0, Bp - B), (0, 0))).astype(x.dtype)
     b_tiles = Bp // tq
-    shifted = qshift is not None
+    shifted = qshift is not None and not quant
+    if quant and qshift is None:
+        raise ValueError("quant=True needs qshift = per-query alpha")
     qs = (jnp.pad(qshift.astype(jnp.float32), ((0, Bp - B),))
-          if shifted else jnp.zeros((Bp,), jnp.float32)).reshape(1, Bp)
+          if qshift is not None
+          else jnp.zeros((Bp,), jnp.float32)).reshape(1, Bp)
 
     if packed and (bin_size & (bin_size - 1)):
         raise ValueError("packed selection needs power-of-two bin_size")
     kernel = functools.partial(_scan_kernel, n_bins_c=n_bins_c,
                                bin_size=bin_size, l2=metric == "l2",
                                packed=packed, prescaled=prescaled,
-                               shifted=shifted)
+                               shifted=shifted, quant=quant)
     grid = (n_chunks, b_tiles)
     vals, ids = pl.pallas_call(
         kernel,
@@ -637,10 +657,19 @@ class FusedScanIndex:
         # the round-2 op-count model that motivated packing was wrong, the
         # kernel is MXU-output-rate-bound and the epilogue overlaps it.
         self.packed = packed
+        # int8 quantized scan: 2x MXU rate on v5e (394 TOPS int8 vs 197
+        # TFLOPS bf16) where the kernel is matmul-bound (which it is at
+        # d_lo=32: scan 28.16 ms vs matmul-only 27.63 at 1M x 16k,
+        # results/epilogue_study_1m.jsonl). Per-tensor corpus scale +
+        # per-query query scale; selection is exact for the QUANTIZED
+        # vectors and the full-dim re-rank absorbs the rounding.
+        self.quant = scan_dtype in ("int8", jnp.int8)
         if metric not in ("l2", "ip", "angular"):
             raise ValueError(f"unknown metric {metric!r}")
         if mode not in ("shifted", "binned"):
             raise ValueError(f"unknown mode {mode!r}")
+        if self.quant and mode == "shifted":
+            raise ValueError("int8 scan requires mode='binned'")
         self.metric = metric
         self.mode = mode
         self.bin_size = bin_size
@@ -673,9 +702,19 @@ class FusedScanIndex:
                 add = np.zeros(n_pad, np.float32)
                 add[n:] = np.inf
                 scale = -1.0
-            # prescaled storage: the -2x/-x factor is exact in bf16
-            # (exponent shift + sign), see _scan_kernel prescaled
-            self.x_lo = jnp.asarray(scale * lo_pad, dtype=scan_dtype)
+            if self.quant:
+                # symmetric per-tensor int8; addvec from the DEQUANTIZED
+                # corpus so scores are exact distances of what was stored
+                self.sx = float(127.0 / (np.abs(lo).max() or 1.0))
+                xi = np.clip(np.rint(lo_pad * self.sx), -127, 127)
+                if metric == "l2":
+                    xq = xi[:n] / self.sx
+                    add[:n] = (xq * xq).sum(-1)
+                self.x_lo = jnp.asarray(xi.astype(np.int8))
+            else:
+                # prescaled storage: the -2x/-x factor is exact in bf16
+                # (exponent shift + sign), see _scan_kernel prescaled
+                self.x_lo = jnp.asarray(scale * lo_pad, dtype=scan_dtype)
             self.addvec = jnp.asarray(add)
             # per-query shift bound for ip/angular (l2 uses ‖q‖² exactly)
             self.max_norm = float(np.sqrt((lo ** 2).sum(-1).max())) or 1.0
@@ -714,25 +753,33 @@ class FusedScanIndex:
             vals, ids = shifted_scan(q_aug, self.x_aug,
                                      bin_size=self.bin_size, chunk=self.chunk,
                                      tq=self.tq, interpret=self.interpret)
-        elif merge == "pallas":
-            raw_v, raw_i = binned_scan(ql, self.x_lo, self.addvec,
-                                       metric=self.metric,
-                                       bin_size=self.bin_size,
-                                       chunk=self.chunk, tq=self.tq,
-                                       interpret=self.interpret,
-                                       packed=self.packed, prescaled=True,
-                                       transpose=False)
-            cc = min(c, raw_v.shape[0])
-            _, cand = merge_topc(raw_v, raw_i, cc, valid_b=ql.shape[0],
-                                 interpret=self.interpret)
-            return rerank(qf, self.base_full, cand, k, metric=self.metric,
-                          base_sqnorms=self.base_sq)
         else:
-            vals, ids = binned_scan(ql, self.x_lo, self.addvec,
-                                    metric=self.metric, bin_size=self.bin_size,
-                                    chunk=self.chunk, tq=self.tq,
-                                    interpret=self.interpret,
-                                    packed=self.packed, prescaled=True)
+            if self.quant:
+                # per-query symmetric int8 + per-query dequant factor: a
+                # positive per-query scale on the dot term cannot change
+                # that query's ranking (see _scan_kernel quant)
+                sq = 127.0 / jnp.maximum(jnp.max(jnp.abs(ql), axis=1), 1e-30)
+                q_scan = jnp.clip(jnp.round(ql * sq[:, None]),
+                                  -127, 127).astype(jnp.int8)
+                dot_scale = -2.0 if self.metric == "l2" else -1.0
+                kw = dict(qshift=dot_scale / (self.sx * sq), quant=True,
+                          prescaled=False)
+            else:
+                q_scan, kw = ql, dict(prescaled=True)
+            scan_kw = dict(metric=self.metric, bin_size=self.bin_size,
+                           chunk=self.chunk, tq=self.tq,
+                           interpret=self.interpret, packed=self.packed,
+                           **kw)
+            if merge == "pallas":
+                raw_v, raw_i = binned_scan(q_scan, self.x_lo, self.addvec,
+                                           transpose=False, **scan_kw)
+                cc = min(c, raw_v.shape[0])
+                _, cand = merge_topc(raw_v, raw_i, cc, valid_b=ql.shape[0],
+                                     interpret=self.interpret)
+                return rerank(qf, self.base_full, cand, k,
+                              metric=self.metric, base_sqnorms=self.base_sq)
+            vals, ids = binned_scan(q_scan, self.x_lo, self.addvec,
+                                    **scan_kw)
         cc = min(c, vals.shape[1])
         if merge == "approx" and not self.interpret:
             _, sel = jax.lax.approx_max_k(-vals, cc, recall_target=0.95)

@@ -207,6 +207,36 @@ def test_merge_topc_hierarchical_two_stage():
     assert (np.asarray(mi) == oids).mean() > 0.99
 
 
+def test_fused_index_int8_scan(fixture_data, fixture_gt):
+    """scan_dtype='int8': quantized MXU scan + exact re-rank ~ matches the
+    bf16 index's recall on the fixture (per-query dequant preserves each
+    query's ranking; int8 rounding is absorbed by the re-rank)."""
+    base, query = fixture_data
+    idx8 = FusedScanIndex(base, scan_dtype="int8", bin_size=32, chunk=256,
+                          tq=64)
+    assert idx8.quant and idx8.x_lo.dtype == jnp.int8
+    ids8, dists8 = idx8.search(query, k=10, c=64)
+    r10 = recall_at_k(np.asarray(ids8), fixture_gt, 10)
+    idxb = FusedScanIndex(base, bin_size=32, chunk=256, tq=64)
+    idsb, _ = idxb.search(query, k=10, c=64)
+    r10b = recall_at_k(np.asarray(idsb), fixture_gt, 10)
+    assert r10 > 0.9 and r10 >= r10b - 0.02, (r10, r10b)
+    assert (np.diff(np.asarray(dists8), axis=1) >= -1e-5).all()
+
+
+def test_fused_index_int8_angular(fixture_data):
+    """int8 scan under angular metric (alpha = -1/(sx*sq) path)."""
+    base, query = fixture_data
+    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    qn = query / np.linalg.norm(query, axis=1, keepdims=True)
+    idx = FusedScanIndex(bn, metric="angular", scan_dtype="int8",
+                         bin_size=32, chunk=256, tq=64)
+    ids, _ = idx.search(qn, k=10, c=64)
+    d2 = -(qn @ bn.T)
+    gt = np.argsort(d2, axis=1, kind="stable")[:, :10].astype(np.int32)
+    assert recall_at_k(np.asarray(ids), gt, 10) > 0.9
+
+
 def test_fused_index_merge_pallas_angular(fixture_data):
     """merge='pallas' under the angular metric (binned mode): agrees with
     merge='exact' — the packed-key merge is metric-agnostic (scores are
