@@ -79,6 +79,8 @@ class SearchConfig:
     packed: bool = False           # walker: inline (K,d) neighbor rows (pack_neighbors)
     walker: str = "jax"            # graph hop backend: "jax" | "pallas" (DMA payload)
     centroid_entries: int = 0      # >0: per-query k-means entry points (ncent)
+    scan_dtype: str = "bfloat16"   # fused scan corpus: bfloat16 | int8
+    # (int8: 2x MXU rate on v5e; per-query dequant, re-rank absorbs rounding)
 
 
 @dataclasses.dataclass

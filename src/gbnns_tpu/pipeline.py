@@ -227,9 +227,13 @@ def _flat_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
 
     kind = cfg.search.index
     if kind == "fused":
+        import jax.numpy as jnp
+
         from gbnns_tpu.kernels.scan_topk_pallas import FusedScanIndex
 
-        idx = FusedScanIndex(base, base_lo, metric=cfg.metric)
+        sdt = ("int8" if cfg.search.scan_dtype == "int8" else jnp.bfloat16)
+        idx = FusedScanIndex(base, base_lo, metric=cfg.metric,
+                             scan_dtype=sdt)
     elif kind == "gated":
         from gbnns_tpu.search.gated import GatedScanIndex
 
