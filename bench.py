@@ -114,7 +114,15 @@ def main():
     train_time = time.perf_counter() - t0
     log(f"projection train+apply: {train_time:.1f}s")
 
-    gt = exact_ground_truth(query, base, k=10, q_chunk=16384)
+    # GT cached like the projection (exact, deterministic in (n, nq, seed))
+    gt_cache = pathlib.Path(__file__).resolve().parent / "results" / (
+        f"bench_gt_n{n}_q{nq}_seed0.npz")
+    if gt_cache.exists() and not os.environ.get("GBNNS_BENCH_NO_CACHE"):
+        gt = np.load(gt_cache)["gt"]
+        log(f"gt cache hit: {gt_cache.name}")
+    else:
+        gt = exact_ground_truth(query, base, k=10, q_chunk=16384)
+        np.savez_compressed(gt_cache, gt=gt)
     q_j = jnp.asarray(query)
     qlo_j = jnp.asarray(query_lo)
 
