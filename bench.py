@@ -164,6 +164,21 @@ def main():
         if r10 >= 0.995:
             break
 
+    # ---- fused scan, int8 corpus (2x MXU rate if Mosaic keeps the int8
+    # path at K=32; per-query dequant preserves ranking, re-rank absorbs
+    # rounding). Skipped in CPU smoke mode (interpret int8 adds nothing).
+    if not os.environ.get("GBNNS_BENCH_CPU"):
+        fused8 = FusedScanIndex(base, base_lo, scan_dtype="int8")
+        for c in (16, 32, 64):
+            qps, r1, r10 = timed(
+                lambda c=c: fused8.search(q_j, qlo_j, k=10, c=c,
+                                          merge="pallas"))
+            log(f"  fused8 c={c:3d} R@1={r1:.4f} R@10={r10:.4f} "
+                f"QPS={qps:,.0f}")
+            consider("fused_int8", dict(c=c, merge="pallas"), qps, r1, r10)
+            if r10 >= 0.995:
+                break
+
     # ---- IVF cluster-pruned scan ---------------------------------------
     t0 = time.perf_counter()
     ivf = IVFIndex.build(base, base_lo, seed=0)
