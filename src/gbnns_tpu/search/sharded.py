@@ -171,7 +171,7 @@ def build_sharded_index(base_full, K: int, mesh: Mesh, *,
 def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
                    num_entries: int = 32, max_hops: int = 256,
                    metric: str = "l2", engine: str = "graph",
-                   queries_full=None,
+                   queries_full=None, scan_dtype: str = "bfloat16",
                    rerank_metric: str | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Search all shards in parallel and merge: returns (ids, dists) with
     *global* ids, (B, k) each. One jit'd shard_map program: per-shard
@@ -199,7 +199,8 @@ def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
                          "with with_payload=True for engine='graph_pallas'")
     axis = index.axis
     rr_metric = rerank_metric or metric
-    cache_key = (k, ef, num_entries, max_hops, metric, rr_metric, engine)
+    cache_key = (k, ef, num_entries, max_hops, metric, rr_metric, engine,
+                 scan_dtype)
     qj = jnp.asarray(np.asarray(queries, dtype=np.float32))
     qfj = (qj if queries_full is None
            else jnp.asarray(np.asarray(queries_full, dtype=np.float32)))
@@ -265,19 +266,39 @@ def sharded_search(index: ShardedIndex, queries, k: int, *, ef: int,
             from gbnns_tpu.kernels.scan_topk_pallas import (binned_scan,
                                                             merge_topc)
 
-            sq = jnp.sum(base_lo * base_lo, axis=-1)
             pad = f_pad - base_lo.shape[0]
-            scale = -2.0 if metric == "l2" else -1.0   # prescaled corpus:
-            # the distance scale rides in the matmul (exact bf16 shift)
-            x_pad = jnp.pad(scale * base_lo,
-                            ((0, pad), (0, 0))).astype(jnp.bfloat16)
-            add = jnp.pad(sq if metric == "l2" else jnp.zeros_like(sq),
-                          ((0, pad),), constant_values=jnp.inf)
-            raw_v, raw_i = binned_scan(q, x_pad, add, metric=metric,
+            scale = -2.0 if metric == "l2" else -1.0
+            if scan_dtype == "int8":
+                # per-shard symmetric int8 (2x MXU rate): per-shard corpus
+                # scale + per-query query scale ride in qshift's dequant
+                # factor; the per-shard full-dim re-rank runs BEFORE the
+                # cross-shard merge, so shard-local quantization never
+                # compares across shards.
+                sxs = 127.0 / jnp.maximum(jnp.max(jnp.abs(base_lo)), 1e-30)
+                xi = jnp.clip(jnp.round(base_lo * sxs),
+                              -127, 127).astype(jnp.int8)
+                x_pad = jnp.pad(xi, ((0, pad), (0, 0)))
+                xqs = jnp.sum((xi.astype(jnp.float32) / sxs) ** 2, axis=-1)
+                add = jnp.pad(xqs if metric == "l2" else jnp.zeros_like(xqs),
+                              ((0, pad),), constant_values=jnp.inf)
+                sqq = 127.0 / jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-30)
+                q_scan = jnp.clip(jnp.round(q * sqq[:, None]),
+                                  -127, 127).astype(jnp.int8)
+                skw = dict(qshift=scale / (sxs * sqq), quant=True)
+            else:
+                sq = jnp.sum(base_lo * base_lo, axis=-1)
+                # prescaled corpus: the distance scale rides in the matmul
+                # (exact bf16 exponent shift)
+                x_pad = jnp.pad(scale * base_lo,
+                                ((0, pad), (0, 0))).astype(jnp.bfloat16)
+                add = jnp.pad(sq if metric == "l2" else jnp.zeros_like(sq),
+                              ((0, pad),), constant_values=jnp.inf)
+                q_scan, skw = q, dict(prescaled=True)
+            raw_v, raw_i = binned_scan(q_scan, x_pad, add, metric=metric,
                                        bin_size=f_bin, chunk=f_chunk,
                                        tq=min(512, q.shape[0]),
-                                       interpret=f_interp, prescaled=True,
-                                       transpose=False)
+                                       interpret=f_interp,
+                                       transpose=False, **skw)
             # merge_topc consumes the scan's native bin-major layout —
             # same pallas top-c extraction the single-chip flagship uses
             # (28.84 vs 35.27 ms/batch at 1M x 16k, tail_decomp_1m.jsonl)

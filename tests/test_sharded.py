@@ -152,3 +152,23 @@ def test_sharded_fused_engine(fixture_data, fixture_gt):
     assert r10 > 0.85
     d = np.asarray(dists)
     assert (np.diff(d, axis=1) >= -1e-5).all()
+
+
+def test_sharded_fused_engine_int8(fixture_data, fixture_gt):
+    """engine='fused', scan_dtype='int8': per-shard quantized scan; the
+    per-shard full-dim re-rank runs before the cross-shard merge, so
+    shard-local scales never compare across shards."""
+    from gbnns_tpu.search.sharded import (build_sharded_index, make_mesh,
+                                          sharded_search)
+    from gbnns_tpu.eval.recall import recall_at_k
+
+    base, query = fixture_data
+    mesh = make_mesh(8)
+    idx = build_sharded_index(base, 8, mesh, with_graph=False)
+    ids, dists = sharded_search(idx, query, 10, ef=64, engine="fused",
+                                scan_dtype="int8")
+    ids = np.asarray(ids)
+    assert ids.shape == (query.shape[0], 10)
+    r10 = recall_at_k(ids, fixture_gt, 10)
+    assert r10 > 0.85
+    assert (np.diff(np.asarray(dists), axis=1) >= -1e-5).all()
