@@ -22,3 +22,48 @@ Layout (SURVEY.md §7.1):
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level API: the surface a reference user needs, importable as
+# `from gbnns_tpu import FusedScanIndex, ...` without paying for modules
+# they don't touch (jax imports are heavy on this relay).
+_EXPORTS = {
+    # engines
+    "FusedScanIndex": "gbnns_tpu.kernels.scan_topk_pallas",
+    "GraphIndex": "gbnns_tpu.search.graph_index",
+    "FlatIndex": "gbnns_tpu.search.flat",
+    "IVFIndex": "gbnns_tpu.search.ivf",
+    "GatedScanIndex": "gbnns_tpu.search.gated",
+    # build / train
+    "build_knn_graph": "gbnns_tpu.build.knn_graph",
+    "TrainConfig": "gbnns_tpu.dimred.train",
+    "train_projection": "gbnns_tpu.dimred.train",
+    "project": "gbnns_tpu.dimred.train",
+    "pca_fit": "gbnns_tpu.dimred.pca",
+    "pca_transform": "gbnns_tpu.dimred.pca",
+    # data / eval
+    "load_dataset": "gbnns_tpu.io.datasets",
+    "exact_ground_truth": "gbnns_tpu.eval.recall",
+    "recall_at_k": "gbnns_tpu.eval.recall",
+    # multi-chip
+    "make_mesh": "gbnns_tpu.search.sharded",
+    "build_sharded_index": "gbnns_tpu.search.sharded",
+    "sharded_search": "gbnns_tpu.search.sharded",
+    # experiment driver
+    "ExperimentConfig": "gbnns_tpu.config",
+    "run_pipeline": "gbnns_tpu.pipeline",
+}
+
+__all__ = ["__version__", *_EXPORTS]
+
+
+def __getattr__(name: str):
+    mod = _EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(f"module 'gbnns_tpu' has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
+
+
+def __dir__():
+    return sorted(__all__)

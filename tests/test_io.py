@@ -87,3 +87,12 @@ def test_dataset_registry_real_files(tmp_path, monkeypatch):
     ds = load_dataset("fixture")
     assert ds.source == "files"
     np.testing.assert_array_equal(ds.base, base)
+
+
+def test_top_level_api_exports():
+    """`from gbnns_tpu import <X>` works for the whole public surface."""
+    import gbnns_tpu as g
+
+    for name in g.__all__:
+        assert getattr(g, name) is not None
+    assert "FusedScanIndex" in dir(g) and "sharded_search" in dir(g)
