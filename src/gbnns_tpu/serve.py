@@ -55,7 +55,7 @@ class SearchService:
     def __init__(self, base, base_lo=None, graph=None, *, metric="l2",
                  engine: str = "flat", ef: int = 64, c: int = 64,
                  max_batch: int = 4096, max_wait_ms: float = 2.0,
-                 projection=None):
+                 projection=None, scan_dtype: str = "bfloat16"):
         import jax.numpy as jnp
 
         from gbnns_tpu.search.flat import FlatIndex
@@ -83,7 +83,9 @@ class SearchService:
             # binned Pallas scan + exact re-rank; c is the recall knob
             from gbnns_tpu.kernels.scan_topk_pallas import FusedScanIndex
 
-            self.fused = FusedScanIndex(base, base_lo, metric=metric)
+            self.fused = FusedScanIndex(
+                base, base_lo, metric=metric,
+                scan_dtype="int8" if scan_dtype == "int8" else jnp.bfloat16)
         elif engine == "graph_pallas":
             # the DMA-payload walker + centroid entries (the fast graph path,
             # results/walker_ab_1m.json); reuses the staged graph artifact
