@@ -158,13 +158,30 @@ def _build_fused(base, K: int, *, metric: str, node_chunk: int = 16384,
     t0 = time.perf_counter()
     for off in range(0, n, node_chunk):
         hi = min(off + node_chunk, n)
-        vals, ids = binned_scan(jnp.asarray(base[off:hi]), x_j, add_j,
-                                metric=metric, bin_size=bin_size,
-                                chunk=chunk, tq=min(512, node_chunk),
-                                interpret=interpret, prescaled=True)
-        kk = min(K + 1, vals.shape[1])
-        _, sel = jax.lax.top_k(-vals, kk)
-        parts.append(np.asarray(jnp.take_along_axis(ids, sel, axis=1)))
+        if interpret:
+            vals, ids = binned_scan(jnp.asarray(base[off:hi]), x_j, add_j,
+                                    metric=metric, bin_size=bin_size,
+                                    chunk=chunk, tq=min(512, node_chunk),
+                                    interpret=True, prescaled=True)
+            kk = min(K + 1, vals.shape[1])
+            _, sel = jax.lax.top_k(-vals, kk)
+            cand = jnp.take_along_axis(ids, sel, axis=1)
+        else:
+            # on TPU consume bin winners in their native bin-major layout
+            # through the pallas top-c merge (skips the transpose + the
+            # (K+1)-of-n_bins wide top_k; 28.84 vs 35.27 ms/batch at
+            # 1M x 16k, results/tail_decomp_1m.jsonl)
+            from gbnns_tpu.kernels.scan_topk_pallas import merge_topc
+
+            raw_v, raw_i = binned_scan(jnp.asarray(base[off:hi]), x_j,
+                                       add_j, metric=metric,
+                                       bin_size=bin_size, chunk=chunk,
+                                       tq=min(512, node_chunk),
+                                       interpret=False, prescaled=True,
+                                       transpose=False)
+            kk = min(K + 1, raw_v.shape[0])
+            _, cand = merge_topc(raw_v, raw_i, kk, valid_b=hi - off)
+        parts.append(np.asarray(cand))
         if verbose:
             print(f"  fused knn-graph {hi}/{n} ({hi / n:.0%}) "
                   f"{time.perf_counter() - t0:.1f}s", flush=True)
