@@ -343,7 +343,7 @@ def cmd_serve(args):
         projection = lambda q: _project(trained, q)
     svc = SearchService(base, base_lo, graph, metric=args.metric,
                         engine=args.engine, ef=args.ef, c=args.c,
-                        projection=projection)
+                        projection=projection, scan_dtype=args.scan_dtype)
     serve(svc, port=args.port, host=args.host)
 
 
@@ -485,6 +485,10 @@ def main(argv=None):
     sp.add_argument("--c", type=int, default=64)
     sp.add_argument("--port", type=int, default=8390)
     sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--scan-dtype", default="bfloat16", dest="scan_dtype",
+                    choices=["bfloat16", "int8"],
+                    help="fused engine corpus dtype (int8: 2x MXU rate, "
+                         "re-rank absorbs rounding)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("pipeline", help="full experiment from config")
