@@ -648,7 +648,7 @@ class FusedScanIndex:
     def __init__(self, base_full, base_lo=None, *, metric: str = "l2",
                  scan_dtype=jnp.bfloat16, bin_size: int = 1024,
                  chunk: int = 16384, tq: int = 1024, packed: bool = False,
-                 mode: str = "binned"):
+                 mode: str = "binned", rerank_dtype=jnp.float32):
         # tq=1024 measured +2.5% over 512 at 1M (fewer corpus reloads:
         # b_tiles halves); chunk>16384 exceeds the 16MB VMEM budget.
         # packed=False (plain min+argmin) measured ~7% faster than the
@@ -718,8 +718,12 @@ class FusedScanIndex:
             self.addvec = jnp.asarray(add)
             # per-query shift bound for ip/angular (l2 uses ‖q‖² exactly)
             self.max_norm = float(np.sqrt((lo ** 2).sum(-1).max())) or 1.0
-        self.base_full = jnp.asarray(base_full)
-        self.base_sq = jnp.sum(self.base_full * self.base_full, axis=-1)
+        # rerank_dtype=bf16 halves the re-rank's candidate-row gather
+        # bytes AND the full-dim corpus HBM footprint (5 GB -> 2.5 GB at
+        # 10M x 96d). Only the -2q·x dot term sees the rounding: the
+        # squared norms below stay f32 and are computed BEFORE the cast.
+        self.base_sq = jnp.sum(jnp.asarray(base_full) ** 2, axis=-1)
+        self.base_full = jnp.asarray(base_full, dtype=rerank_dtype)
         # CPU/interpret fallback keeps tests runnable off-TPU
         self.interpret = jax.default_backend() != "tpu"
 

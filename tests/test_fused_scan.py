@@ -237,6 +237,23 @@ def test_fused_index_int8_angular(fixture_data):
     assert recall_at_k(np.asarray(ids), gt, 10) > 0.9
 
 
+def test_fused_index_bf16_rerank(fixture_data, fixture_gt):
+    """rerank_dtype=bf16: only the -2q.x dot term of the re-rank sees the
+    rounding (norms stay f32) — recall within 0.02 of the f32 re-rank."""
+    import jax.numpy as jnp
+
+    base, query = fixture_data
+    idx = FusedScanIndex(base, bin_size=32, chunk=256, tq=64,
+                         rerank_dtype=jnp.bfloat16)
+    assert idx.base_full.dtype == jnp.bfloat16
+    ids, _ = idx.search(query, k=10, c=64)
+    r10 = recall_at_k(np.asarray(ids), fixture_gt, 10)
+    idxf = FusedScanIndex(base, bin_size=32, chunk=256, tq=64)
+    idsf, _ = idxf.search(query, k=10, c=64)
+    r10f = recall_at_k(np.asarray(idsf), fixture_gt, 10)
+    assert r10 >= r10f - 0.02, (r10, r10f)
+
+
 def test_fused_index_merge_pallas_angular(fixture_data):
     """merge='pallas' under the angular metric (binned mode): agrees with
     merge='exact' — the packed-key merge is metric-agnostic (scores are
