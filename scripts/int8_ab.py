@@ -65,9 +65,11 @@ def main():
     qr, qlor = jnp.asarray(query[:nr]), jnp.asarray(query_lo[:nr])
 
     rows = []
-    for dtype_name, dt in (("bf16", jnp.bfloat16), ("int8", "int8")):
+    for dtype_name, dt, rr in (("bf16", jnp.bfloat16, jnp.float32),
+                               ("int8", "int8", jnp.float32),
+                               ("int8+bf16rr", "int8", jnp.bfloat16)):
         t0 = time.perf_counter()
-        idx = FusedScanIndex(base, base_lo, scan_dtype=dt)
+        idx = FusedScanIndex(base, base_lo, scan_dtype=dt, rerank_dtype=rr)
         build_s = time.perf_counter() - t0
         for c in (16, 32):
             run = lambda c=c: idx.search(qj, qlo, k=10, c=c, merge="pallas")
