@@ -52,10 +52,13 @@ class GraphIndex:
               metric: str = "l2", vec_dtype: str = "bfloat16",
               ncent: int | None = 4096, seed: int = 0,
               graph: np.ndarray | None = None,
+              rerank_dtype=jnp.float32,
               build_kwargs: dict[str, Any] | None = None) -> "GraphIndex":
         """Build graph (reduced space) + payload + centroid entries.
         ``ncent=None`` disables centroid entries (strided fallback);
-        ``graph`` reuses a prebuilt adjacency instead of building."""
+        ``graph`` reuses a prebuilt adjacency instead of building.
+        ``rerank_dtype=bf16`` halves the re-rank corpus HBM footprint
+        (norms stay f32 — only the -2q·x dot term sees the rounding)."""
         from gbnns_tpu.build.knn_graph import build_knn_graph
 
         base_full = np.asarray(base_full, np.float32)
@@ -68,9 +71,10 @@ class GraphIndex:
         entries = (CentroidEntries.build(lo, ncent=ncent, metric=metric,
                                          seed=seed)
                    if ncent else None)
-        bf = jnp.asarray(base_full)
+        base_sq = jnp.sum(jnp.asarray(base_full) ** 2, axis=-1)
+        bf = jnp.asarray(base_full, dtype=rerank_dtype)
         return cls(payload=payload, base_lo=jnp.asarray(lo), base_full=bf,
-                   base_sq=jnp.sum(bf * bf, axis=-1), graph=graph,
+                   base_sq=base_sq, graph=graph,
                    entries=entries, metric=metric,
                    stats=dict(n=int(lo.shape[0]), K=int(K),
                               vec_dtype=vec_dtype,
