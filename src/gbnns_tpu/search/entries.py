@@ -53,6 +53,23 @@ class CentroidEntries:
                    node_ids=jnp.asarray(ids[:, 0], jnp.int32),
                    metric=metric)
 
+    def save(self, path: str) -> None:
+        """Stage the quantizer as a flat npz artifact (no pickling) —
+        k-means is compile-bound on this relay (~100 s cold per process,
+        SURVEY §9.6), so serving restarts should load, not refit."""
+        np.savez(path, centroids=np.asarray(self.centroids),
+                 cent_sq=np.asarray(self.cent_sq),
+                 node_ids=np.asarray(self.node_ids),
+                 metric=np.array(self.metric))
+
+    @classmethod
+    def load(cls, path: str) -> "CentroidEntries":
+        z = np.load(path, allow_pickle=False)
+        return cls(centroids=jnp.asarray(z["centroids"]),
+                   cent_sq=jnp.asarray(z["cent_sq"]),
+                   node_ids=jnp.asarray(z["node_ids"], jnp.int32),
+                   metric=str(z["metric"]))
+
     def query_entries(self, queries_lo, E: int) -> jax.Array:
         """(B, E) int32 start nodes: representatives of the E nearest
         centroids (may contain per-row duplicates when two centroids share

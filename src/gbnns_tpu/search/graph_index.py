@@ -53,6 +53,7 @@ class GraphIndex:
               ncent: int | None = 4096, seed: int = 0,
               graph: np.ndarray | None = None,
               rerank_dtype=jnp.float32,
+              entries: "CentroidEntries | None" = None,
               build_kwargs: dict[str, Any] | None = None) -> "GraphIndex":
         """Build graph (reduced space) + payload + centroid entries.
         ``ncent=None`` disables centroid entries (strided fallback);
@@ -68,9 +69,10 @@ class GraphIndex:
                                     **(build_kwargs or {}))
         graph = np.asarray(graph, np.int32)
         payload = pack_hop_payload(graph, lo, vec_dtype=vec_dtype)
-        entries = (CentroidEntries.build(lo, ncent=ncent, metric=metric,
-                                         seed=seed)
-                   if ncent else None)
+        if entries is None:
+            entries = (CentroidEntries.build(lo, ncent=ncent, metric=metric,
+                                             seed=seed)
+                       if ncent else None)
         base_sq = jnp.sum(jnp.asarray(base_full) ** 2, axis=-1)
         bf = jnp.asarray(base_full, dtype=rerank_dtype)
         return cls(payload=payload, base_lo=jnp.asarray(lo), base_full=bf,

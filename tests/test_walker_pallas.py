@@ -117,3 +117,24 @@ def test_walker_pallas_metrics(small_index):
     got = beam_search_pallas(qn, payload, bn, entries, ef=16, max_hops=32,
                              metric="angular")
     np.testing.assert_array_equal(np.asarray(got.ids), np.asarray(ref.ids))
+
+
+def test_centroid_entries_save_load(tmp_path):
+    """Staged quantizer artifact: load == build (bit-identical arrays)."""
+    import numpy as np
+    from gbnns_tpu.search.entries import CentroidEntries
+
+    rng = np.random.default_rng(3)
+    lo = rng.standard_normal((512, 8)).astype(np.float32)
+    ce = CentroidEntries.build(lo, ncent=16, iters=2)
+    p = str(tmp_path / "cent.npz")
+    ce.save(p)
+    ce2 = CentroidEntries.load(p)
+    assert ce2.metric == ce.metric
+    np.testing.assert_array_equal(np.asarray(ce2.node_ids),
+                                  np.asarray(ce.node_ids))
+    np.testing.assert_allclose(np.asarray(ce2.centroids),
+                               np.asarray(ce.centroids))
+    q = rng.standard_normal((32, 8)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(ce.query_entries(q, 4)),
+                                  np.asarray(ce2.query_entries(q, 4)))
