@@ -343,7 +343,8 @@ def cmd_serve(args):
         projection = lambda q: _project(trained, q)
     svc = SearchService(base, base_lo, graph, metric=args.metric,
                         engine=args.engine, ef=args.ef, c=args.c,
-                        projection=projection, scan_dtype=args.scan_dtype)
+                        projection=projection, scan_dtype=args.scan_dtype,
+                        centroids_path=args.centroids)
     serve(svc, port=args.port, host=args.host)
 
 
@@ -489,6 +490,9 @@ def main(argv=None):
                     choices=["bfloat16", "int8"],
                     help="fused engine corpus dtype (int8: 2x MXU rate, "
                          "re-rank absorbs rounding)")
+    sp.add_argument("--centroids", default=None,
+                    help="staged CentroidEntries npz (skip the "
+                         "compile-bound k-means refit on restart)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("pipeline", help="full experiment from config")

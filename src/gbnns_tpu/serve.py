@@ -55,7 +55,8 @@ class SearchService:
     def __init__(self, base, base_lo=None, graph=None, *, metric="l2",
                  engine: str = "flat", ef: int = 64, c: int = 64,
                  max_batch: int = 4096, max_wait_ms: float = 2.0,
-                 projection=None, scan_dtype: str = "bfloat16"):
+                 projection=None, scan_dtype: str = "bfloat16",
+                 centroids_path: str | None = None):
         import jax.numpy as jnp
 
         from gbnns_tpu.search.flat import FlatIndex
@@ -93,10 +94,17 @@ class SearchService:
                 raise ValueError("engine='graph_pallas' requires a graph artifact")
             from gbnns_tpu.search.graph_index import GraphIndex
 
+            entries = None
+            if centroids_path:
+                # staged quantizer artifact: k-means is compile-bound
+                # (~100 s cold per process) — restarts load, not refit
+                from gbnns_tpu.search.entries import CentroidEntries
+
+                entries = CentroidEntries.load(centroids_path)
             self.gidx = GraphIndex.build(
                 base, base_lo, metric=metric,
                 ncent=max(64, min(4096, np.asarray(base).shape[0] // 256)),
-                graph=np.asarray(graph, np.int32))
+                graph=np.asarray(graph, np.int32), entries=entries)
         elif engine == "graph":
             if graph is None:
                 raise ValueError("engine='graph' requires a graph artifact")
