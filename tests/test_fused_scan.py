@@ -207,6 +207,30 @@ def test_merge_topc_hierarchical_two_stage():
     assert (np.asarray(mi) == oids).mean() > 0.99
 
 
+def test_binned_scan_int8_matches_oracle():
+    """quant=True: kernel bin winners == numpy int32-dot oracle exactly
+    (integer matmul is exact; the f32 epilogue is deterministic)."""
+    x, q = _mk(n=1024, d=16, B=32, seed=7)
+    sx = 127.0 / np.abs(x).max()
+    xi = np.clip(np.rint(x * sx), -127, 127).astype(np.int8)
+    add = ((xi / sx) ** 2).sum(-1).astype(np.float32)
+    sq = 127.0 / np.maximum(np.abs(q).max(axis=1), 1e-30)
+    qi = np.clip(np.rint(q * sq[:, None]), -127, 127).astype(np.int8)
+    alpha = (-2.0 / (sx * sq)).astype(np.float32)
+    vals, ids = binned_scan(jnp.asarray(qi), jnp.asarray(xi),
+                            jnp.asarray(add), qshift=jnp.asarray(alpha),
+                            quant=True, bin_size=64, chunk=256, tq=32,
+                            interpret=True, packed=False)
+    dots = qi.astype(np.int32) @ xi.astype(np.int32).T
+    scores = add[None, :] + dots.astype(np.float32) * alpha[:, None]
+    sb = scores.reshape(32, -1, 64)
+    pos = sb.argmin(-1)
+    oids = pos + np.arange(sb.shape[1])[None, :] * 64
+    ovals = np.take_along_axis(sb, pos[:, :, None], 2)[:, :, 0]
+    assert (np.asarray(ids) == oids).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-5, atol=1e-5)
+
+
 def test_fused_index_int8_scan(fixture_data, fixture_gt):
     """scan_dtype='int8': quantized MXU scan + exact re-rank ~ matches the
     bf16 index's recall on the fixture (per-query dequant preserves each
