@@ -274,8 +274,10 @@ class SearchService:
 
     def _search_exact(self, queries, queries_lo, k):
         if self.engine == "fused":
+            # merge=None: backend-aware default (pallas on TPU, exact on
+            # the interpreted CPU fallback where pallas is orders slower)
             return self.fused.search(queries, queries_lo, k=k,
-                                     c=max(self.c, k), merge="pallas")
+                                     c=max(self.c, k), merge=None)
         if self.engine == "graph_pallas":
             return self.gidx.search(queries, queries_lo, k=k,
                                     ef=max(self.ef, k),
