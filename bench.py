@@ -156,11 +156,12 @@ def main():
     # merge="pallas" (merge_topc over the scan's native bin-major layout):
     # 28.84 ms scan+merge at 1M x 16k vs 33.33 approx / 35.27 exact
     # (results/tail_decomp_1m.jsonl)
+    # merge=None resolves to pallas on TPU, exact on the CPU smoke path
     for c in (16, 32, 64):
-        qps, r1, r10 = timed(lambda c=c: fused.search(q_j, qlo_j, k=10, c=c,
-                                                      merge="pallas"))
+        qps, r1, r10 = timed(lambda c=c: fused.search(q_j, qlo_j, k=10,
+                                                      c=c, merge=None))
         log(f"  fused c={c:3d} R@1={r1:.4f} R@10={r10:.4f} QPS={qps:,.0f}")
-        consider("fused", dict(c=c, merge="pallas"), qps, r1, r10)
+        consider("fused", dict(c=c, merge="pallas|exact-cpu"), qps, r1, r10)
         if r10 >= 0.995:
             break
 
@@ -172,7 +173,7 @@ def main():
         for c in (16, 32, 64):
             qps, r1, r10 = timed(
                 lambda c=c: fused8.search(q_j, qlo_j, k=10, c=c,
-                                          merge="pallas"))
+                                          merge=None))
             log(f"  fused8 c={c:3d} R@1={r1:.4f} R@10={r10:.4f} "
                 f"QPS={qps:,.0f}")
             consider("fused_int8", dict(c=c, merge="pallas"), qps, r1, r10)
