@@ -672,6 +672,15 @@ class FusedScanIndex:
             raise ValueError("int8 scan requires mode='binned'")
         self.metric = metric
         self.mode = mode
+        # CPU/interpret fallback keeps tests + docs snippets runnable
+        # off-TPU. The TPU-tuned geometry is pathological there: interpret
+        # mode traces one dot_general PER BIN per grid cell (chunk/bin of
+        # them — the small-corpus bin cap can push that to 2048), so cap
+        # the chunk to keep the traced loop short.
+        self.interpret = jax.default_backend() != "tpu"
+        if self.interpret:
+            chunk = min(chunk, 1024)
+            tq = min(tq, 256)
         self.bin_size = bin_size
         self.chunk = chunk
         self.tq = tq
@@ -724,8 +733,6 @@ class FusedScanIndex:
         # squared norms below stay f32 and are computed BEFORE the cast.
         self.base_sq = jnp.sum(jnp.asarray(base_full) ** 2, axis=-1)
         self.base_full = jnp.asarray(base_full, dtype=rerank_dtype)
-        # CPU/interpret fallback keeps tests runnable off-TPU
-        self.interpret = jax.default_backend() != "tpu"
 
     def search(self, queries_full, queries_lo=None, *, k: int = 10,
                c: int = 32, merge: str | None = None):
