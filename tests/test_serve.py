@@ -175,6 +175,30 @@ def test_serve_graph_pallas_engine(fixture_data, fixture_gt):
         svc.stop()
 
 
+def test_serve_graph_pallas_staged_centroids(fixture_data, fixture_gt,
+                                             tmp_path):
+    """--centroids artifact: the service loads the staged quantizer
+    instead of refitting k-means (compile-bound ~100 s/process on TPU)."""
+    from gbnns_tpu.build.knn_graph import build_knn_graph
+    from gbnns_tpu.search.entries import CentroidEntries
+    from gbnns_tpu.serve import SearchService
+    from gbnns_tpu.eval.recall import recall_at_k
+
+    base, query = fixture_data
+    graph = build_knn_graph(base, 8, chunk=1024, node_chunk=1024)
+    ce = CentroidEntries.build(base, ncent=16, iters=2)
+    p = str(tmp_path / "cent.npz")
+    ce.save(p)
+    svc = SearchService(base, graph=graph, engine="graph_pallas", ef=32,
+                        centroids_path=p)
+    try:
+        ids, _ = svc.submit(query[:32], None, 10)
+        r10 = recall_at_k(np.asarray(ids), fixture_gt[:32], 10)
+        assert r10 > 0.85
+    finally:
+        svc.stop()
+
+
 def test_serve_fused_engine(fixture_data, fixture_gt):
     """fused engine (the headline binned-scan path) behind the service."""
     from gbnns_tpu.serve import SearchService
