@@ -325,6 +325,9 @@ def binned_scan(q, x, addvec, qshift=None, *, metric: str = "l2",
     shifted = qshift is not None and not quant
     if quant and qshift is None:
         raise ValueError("quant=True needs qshift = per-query alpha")
+    if quant and (q.dtype != jnp.int8 or x.dtype != jnp.int8):
+        raise ValueError(f"quant=True needs int8 q and x, got {q.dtype} "
+                         f"/ {x.dtype} (an astype here would truncate)")
     qs = (jnp.pad(qshift.astype(jnp.float32), ((0, Bp - B),))
           if qshift is not None
           else jnp.zeros((Bp,), jnp.float32)).reshape(1, Bp)
