@@ -248,6 +248,18 @@ def test_fused_index_int8_scan(fixture_data, fixture_gt):
     assert (np.diff(np.asarray(dists8), axis=1) >= -1e-5).all()
 
 
+def test_fused_index_int8_merge_pallas(fixture_data, fixture_gt):
+    """int8 scan + pallas top-c merge — the exact combination the TPU
+    runs — agrees with the int8 + exact-merge path."""
+    base, query = fixture_data
+    idx = FusedScanIndex(base, scan_dtype="int8", bin_size=32, chunk=256,
+                         tq=64)
+    ids_p, _ = idx.search(query, k=10, c=64, merge="pallas")
+    ids_e, _ = idx.search(query, k=10, c=64, merge="exact")
+    assert recall_at_k(np.asarray(ids_p), fixture_gt, 10) > 0.9
+    assert (np.asarray(ids_p) == np.asarray(ids_e)).mean() > 0.98
+
+
 def test_fused_index_int8_angular(fixture_data):
     """int8 scan under angular metric (alpha = -1/(sx*sq) path)."""
     base, query = fixture_data
