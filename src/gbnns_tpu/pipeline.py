@@ -54,9 +54,10 @@ def fit_projection(cfg: ExperimentConfig, base, query, gt):
         return (pca_transform(model, base, normalize=normalize),
                 pca_transform(model, query, normalize=normalize),
                 {"pca_mean": model.mean, "pca_components": model.components})
-    from gbnns_tpu.dimred.train import TrainConfig, project, train_projection
+    from gbnns_tpu.dimred.train import (TrainConfig, load_projection,
+                                        project, save_projection,
+                                        train_projection)
 
-    base_train, nbrs = gt_for_training(cfg, base, gt)
     tc = TrainConfig(d_out=cfg.dimred.d_out, model=m, hidden=cfg.dimred.hidden,
                      metric=cfg.metric, margin=cfg.dimred.margin,
                      lr=cfg.dimred.lr, batch_size=cfg.dimred.batch_size,
@@ -64,8 +65,39 @@ def fit_projection(cfg: ExperimentConfig, base, query, gt):
                      hard_negatives=cfg.dimred.hard_negatives,
                      neg_ranks=cfg.dimred.neg_ranks,
                      seed=cfg.dimred.seed)
-    trained = train_projection(base_train, nbrs, tc)
+    # staged projection: keyed on everything that shapes training (the
+    # dataset identity + the full TrainConfig + the supervision sampling);
+    # a pipeline rerun with unchanged config loads instead of retraining
+    # (same fix as bench.py's projection cache — training dominated rerun
+    # wall time). Delete the npz (or change any knob) to retrain.
+    import hashlib
+
+    key_src = repr((cfg.dataset, cfg.scale, cfg.max_base, cfg.metric,
+                    cfg.seed, cfg.dimred.train_sample, dataclasses_repr(tc),
+                    int(base.shape[0]), int(base.shape[1])))
+    key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    cache = os.path.join(cfg.out_dir, f"proj_{cfg.name}_{key}.npz")
+    trained = None
+    if os.path.exists(cache):
+        try:
+            trained = load_projection(cache)
+            print(f"  projection cache hit: {os.path.basename(cache)}",
+                  flush=True)
+        except Exception as e:
+            print(f"  projection cache unreadable ({e}); retraining",
+                  flush=True)
+    if trained is None:
+        base_train, nbrs = gt_for_training(cfg, base, gt)
+        trained = train_projection(base_train, nbrs, tc)
+        save_projection(cache, trained)
     return project(trained, base), project(trained, query), {"trained": trained}
+
+
+def dataclasses_repr(tc) -> str:
+    import dataclasses as _dc
+
+    return repr(_dc.asdict(tc))
 
 
 def gt_for_training(cfg: ExperimentConfig, base, gt_query):
