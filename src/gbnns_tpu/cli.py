@@ -217,18 +217,68 @@ def _run_search(base_full, base_lo, query_full, query_lo, graph, gt, ef, k,
                           "walker": walker, "timing": TIMING_MODE}), ids
 
 
+def _run_scan_engine(base, base_lo, query, q_lo, gt, ef, args):
+    """Single-chip scan engines for `search`/`sweep --engine flat|fused`:
+    ``ef`` is the re-rank pool ``c`` (the scan's recall knob)."""
+    from gbnns_tpu.eval.bench import TIMING_MODE, BenchResult, time_search
+    from gbnns_tpu.eval.recall import recall_at_k
+    from gbnns_tpu.pipeline import microbatch
+
+    if args.engine == "fused":
+        import jax.numpy as jnp
+
+        from gbnns_tpu.kernels.scan_topk_pallas import FusedScanIndex
+
+        sdt = "int8" if args.scan_dtype == "int8" else jnp.bfloat16
+        idx = FusedScanIndex(base, base_lo, metric=args.metric,
+                             scan_dtype=sdt)
+    else:
+        from gbnns_tpu.search.flat import FlatIndex
+
+        idx = FlatIndex(base, base_lo, metric=args.metric)
+    c = max(ef, args.k)
+
+    def run():
+        return microbatch(
+            lambda q, ql: idx.search(q, ql, k=args.k, c=c),
+            (query, q_lo), args.batch_size)
+
+    qps, sec, (ids, dists) = time_search(run, query.shape[0], warmup=1,
+                                         iters=3)
+    ids = np.asarray(ids)
+    r1 = recall_at_k(ids, gt, 1) if gt is not None else float("nan")
+    r10 = (recall_at_k(ids, gt, min(10, args.k)) if gt is not None
+           else float("nan"))
+    return BenchResult(
+        label=f"{args.engine}-c{c}", ef=c, qps=qps, latency_ms=sec * 1e3,
+        recall_at_1=r1, recall_at_10=r10, n_queries=query.shape[0],
+        dist_comps_per_query=float(base.shape[0]), hops=0,
+        extra={"engine": args.engine, "scan_dtype": args.scan_dtype,
+               "timing": TIMING_MODE}), ids
+
+
 def _load_search_inputs(args):
     from gbnns_tpu.build.knn_graph import load_graph
     from gbnns_tpu.io.vecs import read_fvecs, read_ivecs
 
     base, query = _load_base_query(args)
-    graph = np.asarray(load_graph(args.graph))
+    engine = getattr(args, "engine", "graph")
+    needs_graph = engine in ("graph", "graph_pallas") or (
+        args.n_devices and args.n_devices > 1
+        and getattr(args, "sharded_engine", "graph") in ("graph",
+                                                         "graph_pallas"))
+    if args.graph:
+        graph = np.asarray(load_graph(args.graph))
+        args.graph_k = graph.shape[1]  # reuse degree for sharded rebuilds
+    elif needs_graph:
+        raise SystemExit(f"--graph is required for engine={engine!r}")
+    else:
+        graph, args.graph_k = None, 0
     base_lo = (np.ascontiguousarray(read_fvecs(args.base_lo), dtype=np.float32)
                if args.base_lo else base)
     q_lo = (np.ascontiguousarray(read_fvecs(args.query_lo), dtype=np.float32)
             if args.query_lo else query)
     gt = np.asarray(read_ivecs(args.gt)) if args.gt else None
-    args.graph_k = graph.shape[1]  # reuse the loaded graph's degree for sharded rebuilds
     return base, base_lo, query, q_lo, graph, gt
 
 
@@ -276,13 +326,17 @@ def cmd_search(args):
     base, base_lo, query, q_lo, graph, gt = _load_search_inputs(args)
     if args.n_devices and args.n_devices > 1:
         r, ids = _run_sharded(base, base_lo, query, q_lo, gt, args.ef, args)
+    elif args.engine in ("flat", "fused"):
+        r, ids = _run_scan_engine(base, base_lo, query, q_lo, gt, args.ef,
+                                  args)
     else:
+        walker = "pallas" if args.engine == "graph_pallas" else args.walker
         r, ids = _run_search(base, base_lo, query, q_lo, graph, gt, args.ef,
                              args.k, args.metric, args.num_entries,
                              args.max_hops, args.visited_mode,
                              expand=args.expand, dtype=args.dtype,
                              batch_size=args.batch_size, packed=args.packed,
-                             walker=args.walker,
+                             walker=walker,
                              centroid_entries=args.centroid_entries)
     print(json.dumps(r.to_json(), indent=2))
     if args.out:
@@ -299,13 +353,18 @@ def cmd_sweep(args):
     def run_one(ef):
         if args.n_devices and args.n_devices > 1:
             r, _ = _run_sharded(base, base_lo, query, q_lo, gt, ef, args)
+        elif args.engine in ("flat", "fused"):
+            r, _ = _run_scan_engine(base, base_lo, query, q_lo, gt, ef,
+                                    args)
         else:
+            walker = ("pallas" if args.engine == "graph_pallas"
+                      else args.walker)
             r, _ = _run_search(base, base_lo, query, q_lo, graph, gt, ef,
                                args.k, args.metric, args.num_entries,
                                args.max_hops, args.visited_mode,
                                expand=args.expand, dtype=args.dtype,
                                batch_size=args.batch_size, packed=args.packed,
-                               walker=args.walker,
+                               walker=walker,
                                centroid_entries=args.centroid_entries)
         return r
 
@@ -426,7 +485,15 @@ def main(argv=None):
 
     def add_search_args(sp):
         add_data_args(sp)
-        sp.add_argument("--graph", required=True)
+        sp.add_argument("--graph", help="adjacency npy (required for the "
+                                        "graph engines; scan engines need "
+                                        "none)")
+        sp.add_argument("--engine", default="graph",
+                        choices=["graph", "graph_pallas", "flat", "fused"],
+                        help="single-chip engine; for flat/fused the ef "
+                             "value is the re-rank pool c")
+        sp.add_argument("--scan-dtype", default="bfloat16",
+                        dest="scan_dtype", choices=["bfloat16", "int8"])
         sp.add_argument("--base-lo", dest="base_lo")
         sp.add_argument("--query-lo", dest="query_lo")
         sp.add_argument("--gt")
