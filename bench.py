@@ -48,11 +48,26 @@ def main():
     t_start = time.perf_counter()
     import numpy as np
 
+    # Fail fast if the relay is fully down (seen r3: 10+ h outage where
+    # every process hangs inside backend init): exit 3 instead of hanging
+    # to the caller's timeout. Normal warmup stalls are 20-320 s.
+    init_timeout = float(os.environ.get("GBNNS_BENCH_INIT_TIMEOUT_S", 900))
+    init_ok = threading.Event()
+
+    def _watchdog():
+        if not init_ok.wait(init_timeout):
+            print(f"bench: backend init exceeded {init_timeout:.0f}s "
+                  "(axon relay down?) — aborting", file=sys.stderr,
+                  flush=True)
+            os._exit(3)
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     # absorb the axon relay's first-transfer stall concurrently with setup
     def _warm():
         try:
             import jax.numpy as jnp
             np.asarray(jnp.zeros((1,), jnp.float32))
+            init_ok.set()
         except Exception:
             pass
     threading.Thread(target=_warm, daemon=True).start()
