@@ -252,7 +252,7 @@ def _run_scan_engine(base, base_lo, query, q_lo, gt, ef, args):
     return BenchResult(
         label=f"{args.engine}-c{c}", ef=c, qps=qps, latency_ms=sec * 1e3,
         recall_at_1=r1, recall_at_10=r10, n_queries=query.shape[0],
-        dist_comps_per_query=float(base.shape[0]), hops=0,
+        dist_comps_per_query=float(base.shape[0] + c), hops=0,
         extra={"engine": args.engine, "scan_dtype": args.scan_dtype,
                "timing": TIMING_MODE}), ids
 
@@ -263,10 +263,14 @@ def _load_search_inputs(args):
 
     base, query = _load_base_query(args)
     engine = getattr(args, "engine", "graph")
-    needs_graph = engine in ("graph", "graph_pallas") or (
-        args.n_devices and args.n_devices > 1
-        and getattr(args, "sharded_engine", "graph") in ("graph",
-                                                         "graph_pallas"))
+    # sharded runs build their own per-shard subgraphs; --graph is only
+    # needed there when the sharded engine walks a graph (the single-chip
+    # --engine default must not force it for graph-less sharded scans)
+    if args.n_devices and args.n_devices > 1:
+        needs_graph = getattr(args, "sharded_engine", "graph") in (
+            "graph", "graph_pallas")
+    else:
+        needs_graph = engine in ("graph", "graph_pallas")
     if args.graph:
         graph = np.asarray(load_graph(args.graph))
         args.graph_k = graph.shape[1]  # reuse degree for sharded rebuilds
@@ -306,7 +310,8 @@ def _run_sharded(base, base_lo, query, q_lo, gt, ef, args):
         return sharded_search(idx, q_lo, args.k, ef=ef,
                               num_entries=args.num_entries,
                               max_hops=args.max_hops, metric=args.metric,
-                              engine=engine, queries_full=query)
+                              engine=engine, queries_full=query,
+                              scan_dtype=args.scan_dtype)
 
     qps, sec, (ids, dists) = time_search(run, q_lo.shape[0], warmup=1, iters=3)
     ids = np.asarray(ids)
@@ -315,9 +320,13 @@ def _run_sharded(base, base_lo, query, q_lo, gt, ef, args):
     return BenchResult(
         label=f"sharded-ef{ef}", ef=ef, qps=qps, latency_ms=sec * 1e3,
         recall_at_1=r1, recall_at_10=r10, n_queries=q_lo.shape[0],
-        dist_comps_per_query=float("nan"), hops=-1,
+        # scans: n reduced rows + per-shard ef-pool full-dim re-rank;
+        # graph walks: data-dependent → null (SURVEY §5.1)
+        dist_comps_per_query=(float(base.shape[0] + args.n_devices * ef)
+                              if engine in ("flat", "fused") else None),
+        hops=-1,
         extra={"n_devices": args.n_devices, "engine": engine,
-               "timing": TIMING_MODE}), ids
+               "scan_dtype": args.scan_dtype, "timing": TIMING_MODE}), ids
 
 
 def cmd_search(args):
@@ -404,6 +413,11 @@ def cmd_serve(args):
                         engine=args.engine, ef=args.ef, c=args.c,
                         projection=projection, scan_dtype=args.scan_dtype,
                         centroids_path=args.centroids)
+    if not args.no_warm:
+        # pre-compile every request-size bucket so the documented 21 s p95
+        # compile stalls never land inside live requests (ADVICE r3)
+        n = svc.warm(k=args.k if hasattr(args, "k") else 10)
+        print(f"warmed {n} request-size buckets", flush=True)
     serve(svc, port=args.port, host=args.host)
 
 
@@ -565,6 +579,8 @@ def main(argv=None):
     sp.add_argument("--centroids", default=None,
                     help="staged CentroidEntries npz (skip the "
                          "compile-bound k-means refit on restart)")
+    sp.add_argument("--no-warm", action="store_true", dest="no_warm",
+                    help="skip pre-compiling request-size buckets at startup")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("pipeline", help="full experiment from config")

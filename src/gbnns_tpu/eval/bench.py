@@ -41,7 +41,17 @@ class BenchResult:
     extra: dict[str, Any] = dataclasses.field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
-        return dataclasses.asdict(self)
+        # Strict-JSON guarantee: non-finite floats (unknown / data-dependent
+        # work counts, recall without GT) serialize as null, never as the
+        # literal NaN/Infinity tokens that break non-Python consumers
+        # (VERDICT r3: jq choked on results/sift1m_dr32_1m.json).
+        def clean(v):
+            if isinstance(v, float) and not np.isfinite(v):
+                return None
+            if isinstance(v, dict):
+                return {k: clean(x) for k, x in v.items()}
+            return v
+        return {k: clean(v) for k, v in dataclasses.asdict(self).items()}
 
 
 def time_fn(fn: Callable[[], Any], *, warmup: int = 2, iters: int = 5) -> tuple[float, Any]:
@@ -93,12 +103,15 @@ def sweep(run_one: Callable[[int], BenchResult], efs: list[int],
         r = run_one(ef)
         results.append(r)
         if verbose:
+            dq = r.dist_comps_per_query
+            dq_s = f"{dq:,.0f}" if dq is not None and np.isfinite(dq) else "-"
             print(f"  ef={ef:4d}  R@1={r.recall_at_1:.4f}  R@10={r.recall_at_10:.4f}  "
-                  f"QPS={r.qps:,.0f}  dist/q={r.dist_comps_per_query:,.0f}  hops={r.hops}",
+                  f"QPS={r.qps:,.0f}  dist/q={dq_s}  hops={r.hops}",
                   flush=True)
     if out_path:
         with open(out_path, "w") as f:
-            json.dump([r.to_json() for r in results], f, indent=2)
+            json.dump([r.to_json() for r in results], f, indent=2,
+                      allow_nan=False)
     return results
 
 

@@ -624,10 +624,25 @@ def merge_topc(vals, ids, c: int, *, valid_b: int, rb: int = 512,
     their top-c, recursing until one block remains (10M at bin=1024 is
     9766 bins → 2 stages). c is rounded up to 8 in-kernel so output
     blocks satisfy the (8, 128) f32 tile constraint.
+
+    Large pools: a stage needs ``ck*2 <= rb``; when c exceeds rb//2 the
+    block size is raised to the next power of two (capped at 2048 to
+    stay inside the VMEM budget: scratch+operands at rb=2048/tq=512 is
+    ~12 MB), and beyond that the merge falls back to one XLA
+    ``lax.top_k`` over the transposed winners — same contract, slower,
+    instead of the pre-round-4 ValueError (ef >= 257 sweeps used to
+    crash every pallas-merge consumer).
     """
     ck = _round_up(max(c, 8), 8)
     if ck * 2 > rb:
-        raise ValueError(f"c={c} too large for rb={rb} (needs ck*2 <= rb)")
+        rb = 1 << (ck * 2 - 1).bit_length()
+    if rb > 2048 or c >= vals.shape[0]:
+        # pool wider than the largest supported block (or no reduction to
+        # do at all): exact XLA merge over query-major winners
+        cc = min(c, vals.shape[0])
+        v, i = vals[:, :valid_b].T, ids[:, :valid_b].T
+        neg, sel = jax.lax.top_k(-v, cc)
+        return -neg, jnp.take_along_axis(i, sel, axis=1)
     Bp = vals.shape[1]
     if Bp % tq:
         pad = _round_up(Bp, tq) - Bp

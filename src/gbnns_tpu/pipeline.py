@@ -211,7 +211,10 @@ def run_pipeline(cfg: ExperimentConfig) -> dict[str, Any]:
     }
     out_path = os.path.join(cfg.out_dir, f"{cfg.name}.json")
     with open(out_path, "w") as f:
-        json.dump(summary, f, indent=2)
+        # allow_nan=False is the strict-JSON regression gate: BenchResult
+        # .to_json() nulls non-finite floats; anything that slips through
+        # fails the write instead of poisoning the artifact (VERDICT r3).
+        json.dump(summary, f, indent=2, allow_nan=False)
     try:  # paper-style artifact; optional (matplotlib present in this env)
         from gbnns_tpu.eval.plot import plot_sweeps
 
@@ -285,15 +288,27 @@ def _flat_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
     recall_k = min(10, cfg.search.k)
     results = []
     for c in cfg.search.efs:
+        # dist/q accounting (SURVEY §5.1 parity with the reference metric):
+        # scans evaluate every (reduced-dim) corpus row plus the full-dim
+        # re-rank pool; ivf/gated evaluate their kept subsets plus re-rank.
         if kind == "ivf":
-            dist_comps = float(c * idx.stats["cap"] + idx.stats["spill"])
+            dist_comps = float(c * idx.stats["cap"] + idx.stats["spill"]
+                               + cfg.search.rerank_c)
             kw = dict(probes=c, c=cfg.search.rerank_c)
         elif kind == "gated":
-            dist_comps = float("nan")  # data-dependent (kept cells)
+            # measured below from the kept-tile fraction of the first batch
+            dist_comps = None
             kw = dict(probes=c, c=cfg.search.rerank_c)
         else:
-            dist_comps = float(base.shape[0])
+            dist_comps = float(base.shape[0] + c)
             kw = dict(c=c)
+        if kind == "gated":
+            bs = min(cfg.search.batch_size, query.shape[0])
+            _, _, kept = idx.search(
+                query[:bs], (query_lo if query_lo is not None else query)[:bs],
+                k=cfg.search.k, return_kept_frac=True, **kw)
+            n_pad = idx.stats["n_chunks"] * idx.chunk
+            dist_comps = float(kept * n_pad + cfg.search.rerank_c)
 
         def run(kw=kw):
             return microbatch(
@@ -352,7 +367,12 @@ def _sharded_sweep(cfg: ExperimentConfig, base, base_lo, query, query_lo, gt):
             label=f"sharded-ef{ef}", ef=ef, qps=qps, latency_ms=sec * 1e3,
             recall_at_1=recall_at_k(ids, gt, 1),
             recall_at_10=recall_at_k(ids, gt, recall_k),
-            n_queries=query_lo.shape[0], dist_comps_per_query=float("nan"),
+            n_queries=query_lo.shape[0],
+            # scans: every reduced row once + per-shard full-dim re-rank of
+            # ef candidates; graph walks: data-dependent (null, SURVEY §5.1)
+            dist_comps_per_query=(
+                float(base.shape[0] + cfg.n_devices * ef)
+                if cfg.search.index in ("flat", "fused") else None),
             hops=-1, extra={"n_devices": cfg.n_devices,
                             "recall_cutoff": recall_k,
                             "timing": TIMING_MODE})

@@ -191,6 +191,16 @@ class GatedScanIndex:
 
         if metric not in ("l2", "ip", "angular"):
             raise ValueError(f"unknown metric {metric!r}")
+        if metric == "ip":
+            # _plan_queries routes by L2 centroid distance and the cluster
+            # neighbor table is L2-based: under raw inner-product scoring
+            # that biases probes toward low-norm clusters (silent recall
+            # loss). angular (normalized) is equivalent to L2 routing;
+            # proper ip routing needs max-q·c scoring end to end — reject
+            # until it exists (ADVICE r3).
+            raise ValueError("GatedScanIndex does not support metric='ip': "
+                             "cluster routing is L2-based; use metric="
+                             "'angular' (normalized) or FusedScanIndex")
         self.metric = metric
         self.fine = fine
         self.m = m

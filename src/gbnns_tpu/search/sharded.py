@@ -72,12 +72,52 @@ def make_mesh(n_devices: int | None = None, axis: str = "shards") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def _batched_shard_candidates(base_lo, Pn: int, n_shard: int, K: int, *,
+                              metric: str, mesh: Mesh, axis: str,
+                              q_chunk: int = 4096) -> np.ndarray:
+    """Exact per-shard kNN candidates for ALL shards in ONE device program:
+    ``shard_map`` places each shard's O(n_shard²·d) sweep on its own device,
+    so the build scales with the mesh instead of running Pn serial sweeps
+    through one queue (VERDICT r3 item 9). Inside each shard the node axis
+    is streamed in ``q_chunk`` blocks via ``lax.map`` (static shapes; one
+    (q_chunk, n_shard) score tile live at a time). Returns (Pn, n_shard,
+    kk) int32 LOCAL candidate ids (self included), kk = min(K+1, n_shard).
+    """
+    kk = min(K + 1, n_shard)
+    qc = min(q_chunk, n_shard)
+    n_pad = -(-n_shard // qc) * qc
+    stacked = jnp.asarray(base_lo.reshape(Pn, n_shard, -1))
+
+    def per_shard(xs):
+        x = xs[0]                                   # (n_shard, d)
+        xsq = jnp.sum(x * x, axis=-1)
+        q = jnp.pad(x, ((0, n_pad - n_shard), (0, 0)))
+        q = q.reshape(n_pad // qc, qc, -1)
+
+        def one_chunk(qb):
+            dot = qb @ x.T                          # MXU: (qc, n_shard)
+            if metric == "l2":
+                d = (jnp.sum(qb * qb, -1)[:, None] - 2.0 * dot
+                     + xsq[None, :])
+            else:                                   # ip / angular
+                d = -dot
+            _, ids = jax.lax.top_k(-d, kk)
+            return ids.astype(jnp.int32)
+
+        ids = jax.lax.map(one_chunk, q)             # (chunks, qc, kk)
+        return ids.reshape(1, n_pad, kk)[:, :n_shard]
+
+    fn = jax.jit(jax.shard_map(per_shard, mesh=mesh, in_specs=P(axis),
+                               out_specs=P(axis)))
+    return np.asarray(fn(stacked))
+
+
 def build_sharded_index(base_full, K: int, mesh: Mesh, *,
                         base_lo=None, metric: str = "l2",
                         axis: str = "shards", with_graph: bool = True,
                         with_payload: bool = False,
                         vec_dtype: str = "bfloat16", ncent: int = 0,
-                        seed: int = 0,
+                        seed: int = 0, parallel_build: bool = True,
                         build_kwargs: dict[str, Any] | None = None) -> ShardedIndex:
     """Partition the corpus into contiguous per-device shards and build an
     independent kNN subgraph per shard (local ids). Shard p owns global ids
@@ -120,10 +160,41 @@ def build_sharded_index(base_full, K: int, mesh: Mesh, *,
 
     if with_graph:
         kw = dict(build_kwargs or {})
-        graphs = []
-        for p in range(Pn):
-            shard = base_lo[p * n_shard:(p + 1) * n_shard]
-            graphs.append(build_knn_graph(shard, K, metric=metric, **kw))
+        # the batched path handles the default exact/xla build; anything
+        # exotic (approx sweeps, alternate backends) keeps the serial path
+        batched = (parallel_build and Pn > 1 and K + 1 <= n_shard
+                   and kw.get("exact", True)
+                   and kw.get("backend", "xla") == "xla")
+        if batched:
+            from concurrent.futures import ThreadPoolExecutor
+
+            from gbnns_tpu.build.knn_graph import (_drop_self,
+                                                   add_reverse_edges,
+                                                   ensure_connected)
+
+            cand = _batched_shard_candidates(
+                base_lo, Pn, n_shard, K, metric=metric, mesh=mesh, axis=axis,
+                q_chunk=int(kw.get("node_chunk", 4096)))
+
+            def finish(p):
+                # host post-processing is O(E) numpy per shard — threaded so
+                # BFS/BLAS of shard p overlaps shard p+1 (GIL released in
+                # the BLAS sweeps ensure_connected issues)
+                g = _drop_self(cand[p], 0)
+                g = add_reverse_edges(g, frac=kw.get("reverse_frac", 0.5))
+                if kw.get("connect", True):
+                    g = ensure_connected(
+                        base_lo[p * n_shard:(p + 1) * n_shard], g,
+                        metric=metric)
+                return g
+
+            with ThreadPoolExecutor(max_workers=min(Pn, 8)) as ex:
+                graphs = list(ex.map(finish, range(Pn)))
+        else:
+            graphs = []
+            for p in range(Pn):
+                shard = base_lo[p * n_shard:(p + 1) * n_shard]
+                graphs.append(build_knn_graph(shard, K, metric=metric, **kw))
         graph = np.stack(graphs)  # (Pn, n_shard, K) local ids
     else:
         graph = np.zeros((Pn, n_shard, 0), np.int32)
@@ -132,16 +203,19 @@ def build_sharded_index(base_full, K: int, mesh: Mesh, *,
     if with_payload:
         if not with_graph:
             raise ValueError("with_payload=True needs with_graph=True")
+        from concurrent.futures import ThreadPoolExecutor
+
         from gbnns_tpu.search.walker_pallas import pack_hop_payload
 
-        rows = []
-        for p in range(Pn):
-            hp = pack_hop_payload(graph[p],
-                                  base_lo[p * n_shard:(p + 1) * n_shard],
-                                  vec_dtype=vec_dtype)
-            rows.append(np.asarray(hp.data))
-            payload_meta = (hp.K, hp.d, hp.vec_words, hp.bf16)
-        payload = np.stack(rows)                 # (Pn, n_shard, S, 128)
+        def pack(p):
+            return pack_hop_payload(graph[p],
+                                    base_lo[p * n_shard:(p + 1) * n_shard],
+                                    vec_dtype=vec_dtype)
+
+        with ThreadPoolExecutor(max_workers=min(Pn, 8)) as ex:
+            hps = list(ex.map(pack, range(Pn)))
+        payload_meta = (hps[0].K, hps[0].d, hps[0].vec_words, hps[0].bf16)
+        payload = np.stack([np.asarray(hp.data) for hp in hps])
     if ncent:
         from gbnns_tpu.search.entries import CentroidEntries
 

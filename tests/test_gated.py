@@ -71,14 +71,19 @@ def test_results_in_input_order_and_valid(corpus, index):
     assert (ids >= -1).all() and (ids < base.shape[0]).all()
 
 
-def test_metric_ip(corpus):
+def test_metric_angular(corpus):
+    """Normalized vectors route correctly (L2 centroid routing is order-
+    equivalent to cosine there); raw metric='ip' is rejected because the
+    L2-based routing biases probes toward low-norm clusters (ADVICE r3)."""
     base, query, _ = corpus
     bn = base / np.linalg.norm(base, axis=1, keepdims=True)
     qn = query / np.linalg.norm(query, axis=1, keepdims=True)
-    idx = GatedScanIndex(bn, metric="ip", fine=4, m=16, sub=64, chunk=512,
-                         tq=64, kmeans_sample=None)
+    idx = GatedScanIndex(bn, metric="angular", fine=4, m=16, sub=64,
+                         chunk=512, tq=64, kmeans_sample=None)
     sims = qn @ bn.T
     gt = np.argsort(-sims, axis=1, kind="stable")[:, :10].astype(np.int32)
     ids, _ = idx.search(qn, k=10, c=64, probes=8, merge="exact")
     r10 = recall_at_k(np.asarray(ids), gt, 10)
     assert r10 >= 0.85, r10
+    with pytest.raises(ValueError, match="ip"):
+        GatedScanIndex(bn, metric="ip", chunk=512, kmeans_sample=None)

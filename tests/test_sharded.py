@@ -126,7 +126,9 @@ def test_sharded_graph_pallas_engine(fixture_data, fixture_gt, mesh8,
     sids, _ = gidx.search(query, ef=32)
     r10_single = recall_at_k(np.asarray(sids), fixture_gt, 10)
     assert r10 >= r10_single - 0.02, (r10, r10_single)
-    assert r10 >= 0.9, r10
+    # same gate as the fused engine (VERDICT r3 item 6; measured >= 0.988
+    # across seeds/device counts at n=8192, ef=32)
+    assert r10 >= 0.95, r10
 
     # an index without payloads must reject the engine loudly
     with pytest.raises(ValueError, match="with_payload"):
@@ -149,7 +151,7 @@ def test_sharded_fused_engine(fixture_data, fixture_gt):
     assert ids.shape == (query.shape[0], 10)
     assert ids.max() < base.shape[0]
     r10 = recall_at_k(ids, fixture_gt, 10)
-    assert r10 > 0.85
+    assert r10 > 0.95, r10  # per-shard scan is exact; only the ef pool binds
     d = np.asarray(dists)
     assert (np.diff(d, axis=1) >= -1e-5).all()
 
@@ -170,5 +172,23 @@ def test_sharded_fused_engine_int8(fixture_data, fixture_gt):
     ids = np.asarray(ids)
     assert ids.shape == (query.shape[0], 10)
     r10 = recall_at_k(ids, fixture_gt, 10)
-    assert r10 > 0.85
+    assert r10 > 0.95, r10  # int8 rounding is absorbed by the full-dim re-rank
     assert (np.diff(np.asarray(dists), axis=1) >= -1e-5).all()
+
+
+def test_parallel_build_matches_serial(fixture_data, fixture_gt, mesh8):
+    """The one-program batched shard build (VERDICT r3 item 9) must deliver
+    the same search quality as the per-shard serial build."""
+    base, query = fixture_data
+    idx_p = build_sharded_index(base, 8, mesh8, parallel_build=True,
+                                build_kwargs=dict(node_chunk=512))
+    idx_s = build_sharded_index(base, 8, mesh8, parallel_build=False,
+                                build_kwargs=dict(chunk=1024,
+                                                  node_chunk=1024))
+    assert idx_p.graph.shape == idx_s.graph.shape
+    ids_p, _ = sharded_search(idx_p, query, 10, ef=32)
+    ids_s, _ = sharded_search(idx_s, query, 10, ef=32)
+    rp = recall_at_k(np.asarray(ids_p), fixture_gt, 10)
+    rs = recall_at_k(np.asarray(ids_s), fixture_gt, 10)
+    assert rp >= rs - 0.02, (rp, rs)
+    assert rp >= 0.9, rp
