@@ -1,0 +1,205 @@
+"""Contract-scale GIST1M / GloVe runs (VERDICT r3 item 3).
+
+BASELINE.json:8-10 names the FULL corpora — GIST1M (1M x 960d L2, 960->128
+learned) and GloVe (1.18M x 300d angular, 300->96 triplet with graph-mined
+negatives); every prior artifact was a s0.1 reduction. This script runs the
+full-size synthetic stand-ins (offline env, SURVEY.md §0) through the fused
+scan + graph walker engines on TPU and writes
+results/{gist1m_dr128_1m,glove_triplet_full}.json (+ .png).
+
+Done-gate per VERDICT: at least one engine at R@10 >= 0.95 with QPS
+recorded.
+
+Usage: python scripts/contract_scale.py --dataset gist1m|glove
+       [--skip-graph] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import threading
+import time
+
+_root = pathlib.Path(__file__).resolve().parents[1]
+_src = str(_root / "src")
+if _src not in sys.path:
+    sys.path.insert(0, _src)
+
+import numpy as np  # noqa: E402
+
+SPECS = {
+    # name: (n, dim, metric, d_out, train_steps, neg_ranks)
+    "gist1m": (1_000_000, 960, "l2", 128, 1200, None),
+    "glove": (1_183_514, 300, "angular", 96, 1200, (10, 100)),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", choices=list(SPECS), required=True)
+    ap.add_argument("--b", type=int, default=16384)
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--skip-graph", action="store_true")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU backend (offline smoke test)")
+    ap.add_argument("--n", type=int, default=None,
+                    help="override corpus size (smoke tests)")
+    args = ap.parse_args()
+    n, dim, metric, d_out, steps, neg_ranks = SPECS[args.dataset]
+    n = args.n or n
+    steps = args.steps or steps
+    out = args.out or ("results/gist1m_dr128_1m.json"
+                       if args.dataset == "gist1m"
+                       else "results/glove_triplet_full.json")
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    if not args.cpu:
+        threading.Thread(target=lambda: np.asarray(jnp.zeros(1)),
+                         daemon=True).start()
+
+    from gbnns_tpu.dimred.train import (TrainConfig, load_projection,
+                                        project, save_projection,
+                                        train_projection)
+    from gbnns_tpu.eval.bench import TIMING_MODE
+    from gbnns_tpu.eval.recall import exact_ground_truth, recall_at_k
+    from gbnns_tpu.io.synthetic import SyntheticSpec, make_synthetic
+    from gbnns_tpu.kernels.scan_topk_pallas import FusedScanIndex
+
+    B = args.b
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    t_all = time.perf_counter()
+    data = make_synthetic(SyntheticSpec(
+        n_base=n, n_query=B, dim=dim, n_clusters=max(64, n // 2000),
+        seed=0, metric=metric))
+    base, query = data["base"], data["query"]
+    log(f"{args.dataset}: synthetic stand-in n={n} d={dim} metric={metric} "
+        f"({time.perf_counter() - t_all:.0f}s)")
+
+    # learned projection, cached per (dataset, d_out, steps)
+    cache = _root / "results" / (f"proj_{args.dataset}_{dim}x{d_out}"
+                                 f"_s{steps}_seed1.npz")
+    trained = None
+    if cache.exists():
+        try:
+            trained = load_projection(str(cache))
+            log(f"projection cache hit: {cache.name}")
+        except Exception:
+            pass
+    if trained is None:
+        rng = np.random.default_rng(1)
+        sub = rng.choice(n, size=min(262_144, n), replace=False)
+        bs = base[sub]
+        k_gt = (max(neg_ranks) + 1) if neg_ranks else 11
+        t0 = time.perf_counter()
+        nbrs = exact_ground_truth(bs, bs, k=k_gt, metric=metric,
+                                  q_chunk=8192)[:, 1:]
+        log(f"train GT {time.perf_counter() - t0:.0f}s")
+        t0 = time.perf_counter()
+        trained = train_projection(bs, nbrs, TrainConfig(
+            d_out=d_out, steps=steps, batch_size=1024, k_pos=10,
+            metric=metric, neg_ranks=neg_ranks))
+        log(f"train {time.perf_counter() - t0:.0f}s "
+            f"(final loss {trained['losses'][-1]:.4f})")
+        cache.parent.mkdir(exist_ok=True)
+        save_projection(str(cache), trained)
+    base_lo = np.asarray(project(trained, base))
+    query_lo = np.asarray(project(trained, query))
+    t0 = time.perf_counter()
+    gt = exact_ground_truth(query, base, k=10, metric=metric, q_chunk=8192)
+    log(f"query GT {time.perf_counter() - t0:.0f}s")
+    qj, qlo = jnp.asarray(query), jnp.asarray(query_lo)
+
+    def timed(run, nq=B, iters=5):
+        ids = jax.block_until_ready(run())[0]
+        r1 = recall_at_k(np.asarray(ids), gt, 1)
+        r10 = recall_at_k(np.asarray(ids), gt, 10)
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(iters):
+            o = run()
+        jax.block_until_ready(o)
+        dt = (time.perf_counter() - t0) / iters
+        return nq / dt, dt * 1e3, r1, r10
+
+    results = []
+
+    def record(engine, knob, v, qps, lat, r1, r10, dist_q=None, **extra):
+        results.append(dict(
+            label=f"{engine}-{knob}{v}", ef=v, qps=round(qps, 1),
+            latency_ms=round(lat, 2), recall_at_1=round(r1, 4),
+            recall_at_10=round(r10, 4), n_queries=B,
+            dist_comps_per_query=dist_q, hops=0,
+            extra=dict(engine=engine, knob=knob, timing=TIMING_MODE,
+                       **extra)))
+        log(f"  {engine:6s} {knob}={v:<4} R@1={r1:.4f} R@10={r10:.4f} "
+            f"QPS={qps:,.0f}")
+
+    # fused Pallas scan — the headline engine; rerank_dtype=bf16 keeps the
+    # 960-d full corpus at 1.9 GB HBM
+    t0 = time.perf_counter()
+    fused = FusedScanIndex(base, base_lo, metric=metric,
+                           rerank_dtype=jnp.bfloat16)
+    log(f"fused build {time.perf_counter() - t0:.1f}s")
+    for c in (16, 32, 64, 128):
+        qps, lat, r1, r10 = timed(
+            lambda c=c: fused.search(qj, qlo, k=10, c=c, merge="pallas"))
+        record("fused", "c", c, qps, lat, r1, r10, dist_q=float(n + c),
+               merge="pallas")
+
+    graph_build_s = 0.0
+    if not args.skip_graph:
+        from gbnns_tpu.search.graph_index import GraphIndex
+
+        t0 = time.perf_counter()
+        gidx = GraphIndex.build(base, base_lo, K=32, ncent=4096,
+                                metric=metric,
+                                build_kwargs=dict(backend="fused"))
+        graph_build_s = time.perf_counter() - t0
+        log(f"graph build {graph_build_s:.1f}s")
+        qh, qlh, gth = qj[:8192], qlo[:8192], gt[:8192]
+        for ef in (32, 48, 64):
+            def run(ef=ef):
+                return gidx.search(qh, qlh, k=10, ef=ef)
+            qps, lat, r1, r10 = timed(run, nq=8192)
+            record("graph", "ef", ef, qps, lat, r1, r10, batch=8192)
+
+    summary = dict(
+        name=pathlib.Path(out).stem,
+        dataset=f"{args.dataset}-like (synthetic stand-in, offline)",
+        n_base=n, dim=dim, d_out=d_out, metric=metric,
+        method=("triplet-linear+graph-mined-neg" if neg_ranks
+                else "triplet-linear"),
+        n_queries=B, timing=TIMING_MODE,
+        graph_build_s=round(graph_build_s, 1),
+        total_wall_s=round(time.perf_counter() - t_all, 1),
+        results=results)
+    out_path = pathlib.Path(out)
+    out_path.write_text(json.dumps(summary, indent=2, allow_nan=False))
+    try:
+        from gbnns_tpu.eval.plot import plot_sweeps
+
+        png = str(out_path).replace(".json", ".png")
+        groups = {}
+        for r in results:
+            groups.setdefault(r["extra"]["engine"], []).append(r)
+        plot_sweeps(groups, png,
+                    title=f"{args.dataset} full scale: recall@10 vs QPS")
+        log(f"wrote {png}")
+    except Exception as e:
+        log(f"plot failed: {e}")
+    best = max((r for r in results if r["recall_at_10"] >= 0.95),
+               key=lambda r: r["qps"], default=None)
+    print(json.dumps(dict(rows=len(results), out=str(out_path),
+                          gate_0p95=(best["label"] if best else None),
+                          gate_qps=(best["qps"] if best else None))))
+
+
+if __name__ == "__main__":
+    main()

@@ -105,10 +105,14 @@ def main():
     results = []
 
     def record(engine, knob, knob_val, qps, lat, r1, r10, **extra):
+        # scans touch every reduced row + the re-rank pool; gated/ivf/graph
+        # work is data-dependent -> null (strict JSON, SURVEY §5.1)
+        dist_q = (float(n + knob_val) if engine in ("fused", "flat")
+                  else None)
         row = dict(label=f"{engine}-{knob}{knob_val}", ef=knob_val,
                    qps=round(qps, 1), latency_ms=round(lat, 2),
                    recall_at_1=round(r1, 4), recall_at_10=round(r10, 4),
-                   n_queries=B, dist_comps_per_query=float("nan"), hops=0,
+                   n_queries=B, dist_comps_per_query=dist_q, hops=0,
                    extra=dict(engine=engine, knob=knob,
                               timing=TIMING_MODE, **extra))
         results.append(row)
@@ -182,7 +186,7 @@ def main():
         graph_build_s=round(graph_build_s, 1),
         results=results)
     out_path = pathlib.Path(args.out)
-    out_path.write_text(json.dumps(summary, indent=2))
+    out_path.write_text(json.dumps(summary, indent=2, allow_nan=False))
     try:
         from gbnns_tpu.eval.plot import plot_sweeps
 

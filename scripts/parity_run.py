@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--efs", type=int, nargs="+",
                     default=[16, 32, 64, 96])
     ap.add_argument("--out-dir", default="results")
+    ap.add_argument("--suffix", default="",
+                    help="output-name suffix, e.g. '_1m' for the "
+                         "contract-scale run (keeps the 100k artifact)")
     args = ap.parse_args()
     cfg = CONFIGS[args.config]
 
@@ -170,9 +173,10 @@ def main():
                gate_pass=bool(worst <= 0.005),
                oracle_threads=native.num_threads(),
                graph_build_s=round(build_s, 1), rows=rows)
-    path = pathlib.Path(args.out_dir) / f"parity_{args.config}.json"
+    path = (pathlib.Path(args.out_dir)
+            / f"parity_{args.config}{args.suffix}.json")
     path.parent.mkdir(exist_ok=True)
-    path.write_text(json.dumps(out, indent=2))
+    path.write_text(json.dumps(out, indent=2, allow_nan=False))
     print(f"  wrote {path}  worst |dR@10|={worst:.4f} "
           f"gate_pass={out['gate_pass']}", flush=True)
     if not out["gate_pass"]:
