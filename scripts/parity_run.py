@@ -58,13 +58,18 @@ def main():
     ap.add_argument("--suffix", default="",
                     help="output-name suffix, e.g. '_1m' for the "
                          "contract-scale run (keeps the 100k artifact)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU backend (offline smoke test)")
     args = ap.parse_args()
     cfg = CONFIGS[args.config]
 
-    import jax.numpy as jnp
-    threading.Thread(target=lambda: np.asarray(jnp.zeros(1)),
-                     daemon=True).start()
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    if not args.cpu:
+        threading.Thread(target=lambda: np.asarray(jnp.zeros(1)),
+                         daemon=True).start()
 
     from gbnns_tpu import native
     from gbnns_tpu.build.knn_graph import build_knn_graph
@@ -111,7 +116,12 @@ def main():
     print(f"  graph K={args.k_graph} built in {build_s:.1f}s", flush=True)
     entries = np.asarray(default_entry_ids(n, 16))
 
-    payload = pack_hop_payload(graph, base_lo, vec_dtype="bfloat16")
+    # f32 payload: the exact-visited pallas row must see the identical f32
+    # vectors the oracle and walker_jax see (bf16 storage rounding would
+    # break bit-parity). Reused for the serving-semantics row too (dtype is
+    # orthogonal to the beam-vs-exact visited comparison). 8 GB at n=1M.
+    payload = pack_hop_payload(graph, base_lo, vec_dtype="float32")
+    payload_f32_ref = [payload]
     blo_j = jnp.asarray(base_lo)
     qlo_j = jnp.asarray(query_lo)
     br_j = jnp.asarray(base_r)
@@ -137,7 +147,18 @@ def main():
         j_r1 = recall_at_k(np.asarray(j_top), gt, 1)
         j_r10 = recall_at_k(np.asarray(j_top), gt, 10)
 
-        # --- Pallas DMA-payload walker (serving engine) ------------------
+        # --- Pallas DMA-payload walker, EXACT-visited parity mode --------
+        # (round 4: the flagship-named walker is now bit-gateable too; the
+        # f32 payload + expand=1 reproduce the oracle's expansion order)
+        payload_f32 = payload_f32_ref[0]
+        xres = beam_search_pallas(qlo_j, payload_f32, blo_j, e_j, ef=ef,
+                                  metric=metric, max_hops=4 * ef,
+                                  visited_mode="exact", expand=1)
+        x_top, _ = rerank(qr_j, br_j, xres.ids, 10, metric=metric)
+        x_r1 = recall_at_k(np.asarray(x_top), gt, 1)
+        x_r10 = recall_at_k(np.asarray(x_top), gt, 10)
+
+        # --- Pallas DMA-payload walker (serving semantics, recorded) -----
         pres = beam_search_pallas(qlo_j, payload, blo_j, e_j, ef=ef,
                                   metric=metric, max_hops=max(64, ef))
         p_top, _ = rerank(qr_j, br_j, pres.ids, 10, metric=metric)
@@ -152,15 +173,22 @@ def main():
                                   ndist_per_q=round(
                                       float(np.asarray(res.n_dist).mean()),
                                       1)),
+                   pallas_exact=dict(r1=round(x_r1, 4), r10=round(x_r10, 4),
+                                     ndist_per_q=round(
+                                         float(np.asarray(
+                                             xres.n_dist).mean()), 1)),
                    pallas=dict(r1=round(p_r1, 4), r10=round(p_r10, 4)),
                    delta_r10_jax=round(j_r10 - c_r10, 4),
+                   delta_r10_pallas_exact=round(x_r10 - c_r10, 4),
                    delta_r10_pallas=round(p_r10 - c_r10, 4))
         rows.append(row)
         print(f"  ef={ef:3d} C++ R@10={c_r10:.4f}  jax_exact {j_r10:.4f} "
-              f"(d {j_r10 - c_r10:+.4f})  pallas {p_r10:.4f} "
+              f"(d {j_r10 - c_r10:+.4f})  pallas_exact {x_r10:.4f} "
+              f"(d {x_r10 - c_r10:+.4f})  pallas {p_r10:.4f} "
               f"(d {p_r10 - c_r10:+.4f})", flush=True)
 
-    worst = max(abs(r["delta_r10_jax"]) for r in rows)
+    worst = max(max(abs(r["delta_r10_jax"]),
+                    abs(r["delta_r10_pallas_exact"])) for r in rows)
     out = dict(config=args.config, dataset=cfg["dataset"], n=n,
                nq=args.nq, d=int(base.shape[1]), d_out=cfg["d_out"],
                metric=metric, graph_k=args.k_graph,
@@ -168,7 +196,9 @@ def main():
                index_memory_note="equal index memory: all engines share "
                                  "one (n,K) int32 graph and one reduced "
                                  "corpus; entries identical",
-               gate="abs(R@10 jax_exact - cpp) <= 0.005 per ef",
+               gate="abs(R@10 {jax_exact, pallas_exact} - cpp) <= 0.005 "
+                    "per ef (r4: the payload walker's exact-visited mode "
+                    "is gated too)",
                worst_abs_delta_r10_jax=round(worst, 4),
                gate_pass=bool(worst <= 0.005),
                oracle_threads=native.num_threads(),

@@ -160,15 +160,17 @@ def _hop_dists(raw, qf, q_sq, *, B: int, M: int, K: int, d: int,
     jax.jit,
     static_argnames=("ef", "max_hops", "metric", "precision", "expand",
                      "intra_dedup", "K", "d", "vec_words", "bf16",
-                     "interpret"),
+                     "interpret", "visited_mode"),
 )
 def _beam_search_payload(queries, payload_data, base_lo, entry_ids, *,
                          ef: int, max_hops: int, metric: str,
                          precision: str, expand: int, intra_dedup: bool,
                          K: int, d: int, vec_words: int, bf16: bool,
-                         interpret: bool) -> SearchResult:
+                         interpret: bool,
+                         visited_mode: str = "beam") -> SearchResult:
     B = queries.shape[0]
     E = entry_ids.shape[-1]
+    n = base_lo.shape[0]
     if E > ef:
         raise ValueError(f"entry count {E} > ef {ef}")
     M = max(1, min(expand, ef))
@@ -196,8 +198,21 @@ def _beam_search_payload(queries, payload_data, base_lo, entry_ids, *,
     beam_d = jnp.take_along_axis(beam_d, order, axis=1)
     expanded = beam_ids < 0
 
+    if visited_mode == "exact":
+        # (B, n) byte table in HBM — identical semantics (and identical
+        # update ops) to walker_jax(visited_mode="exact"), so the payload
+        # walker is bit-gateable against the C++ oracle (VERDICT r3 weak 7).
+        # max() not set(): -1 padding clamps to index 0 (see walker_jax).
+        visited = jnp.zeros((B, n), dtype=jnp.bool_)
+        rows0 = jnp.arange(B, dtype=jnp.int32)
+        visited = visited.at[rows0[:, None], jnp.maximum(beam_ids, 0)].max(
+            beam_ids >= 0)
+    else:
+        visited = jnp.zeros((B, 1), dtype=jnp.bool_)  # unused placeholder
+
+    rows_b = jnp.arange(B, dtype=jnp.int32)[:, None]
     n_dist = jnp.full((B,), E, dtype=jnp.int32)
-    state = (beam_ids, beam_d, expanded, n_dist, jnp.int32(0),
+    state = (beam_ids, beam_d, expanded, visited, n_dist, jnp.int32(0),
              jnp.bool_(True))
 
     def cond(state):
@@ -205,7 +220,7 @@ def _beam_search_payload(queries, payload_data, base_lo, entry_ids, *,
         return (hop < max_hops) & any_active
 
     def body(state):
-        beam_ids, beam_d, expanded, n_dist, hop, _ = state
+        beam_ids, beam_d, expanded, visited, n_dist, hop, _ = state
 
         # -- frontier: first M unexpanded entries of the sorted pool -----
         f_ids, live, expanded = select_frontier(beam_ids, beam_d, expanded, M)
@@ -222,6 +237,10 @@ def _beam_search_payload(queries, payload_data, base_lo, entry_ids, *,
         dup = jnp.any(nbrs[:, :, None] == beam_ids[:, None, :], axis=-1)
         if M > 1 and intra_dedup:
             dup = dup | intra_dedup_mask(nbrs, M * K)
+        if visited_mode == "exact":
+            nbrs_safe = jnp.maximum(nbrs, 0)
+            dup = dup | visited[rows_b, nbrs_safe]
+            visited = visited.at[rows_b, nbrs_safe].max(nbrs >= 0)
         invalid = (nbrs < 0) | dup
         cand_d = jnp.where(invalid, _INF, dist)
         n_dist = n_dist + jnp.sum(~invalid, axis=1).astype(jnp.int32)
@@ -230,9 +249,10 @@ def _beam_search_payload(queries, payload_data, base_lo, entry_ids, *,
             beam_ids, beam_d, expanded, nbrs, cand_d, invalid, ef)
 
         any_active = jnp.any(~expanded)
-        return (beam_ids, beam_d, expanded, n_dist, hop + 1, any_active)
+        return (beam_ids, beam_d, expanded, visited, n_dist, hop + 1,
+                any_active)
 
-    beam_ids, beam_d, expanded, n_dist, hops, _ = \
+    beam_ids, beam_d, expanded, visited, n_dist, hops, _ = \
         jax.lax.while_loop(cond, body, state)
     return SearchResult(ids=beam_ids, dists=beam_d, n_dist=n_dist, hops=hops)
 
@@ -241,16 +261,28 @@ def beam_search_pallas(queries, payload: HopPayload, base_lo, entry_ids, *,
                        ef: int, max_hops: int = 256, metric: str = "l2",
                        precision: str = "highest", expand: int = 4,
                        intra_dedup: bool = True,
+                       visited_mode: str = "beam",
                        interpret: bool | None = None) -> SearchResult:
     """Pallas-hop lockstep beam search. Drop-in for
-    ``walker_jax.beam_search(visited_mode="beam")``: same pool semantics,
-    same knobs; ``base_lo`` is used only to seed the entry points.
+    ``walker_jax.beam_search``: same pool semantics, same knobs;
+    ``base_lo`` is used only to seed the entry points.
+
+    ``visited_mode="exact"`` keeps the reference's (B, n) per-query visited
+    table (same HBM byte table and update ops as walker_jax) so the payload
+    walker can be gated bit-exactly against the C++ oracle — a parity mode,
+    not the serving default: the table costs a (B, MK) gather + scatter per
+    hop. With ``expand=1`` and an f32 payload the expansion order matches
+    the scalar reference exactly. ``"beam"`` (default) uses pool membership
+    as the visited filter (CAGRA-style; revisits cost extra distance evals,
+    never wrong results).
 
     ``interpret=None`` auto-selects the Mosaic interpreter off-TPU so the
     CPU test suite exercises the identical program.
     """
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}")
+    if visited_mode not in ("beam", "exact"):
+        raise ValueError(f"unknown visited_mode {visited_mode!r}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _beam_search_payload(
@@ -258,4 +290,5 @@ def beam_search_pallas(queries, payload: HopPayload, base_lo, entry_ids, *,
         jnp.asarray(entry_ids, jnp.int32), ef=ef, max_hops=max_hops,
         metric=metric, precision=precision, expand=expand,
         intra_dedup=intra_dedup, K=payload.K, d=payload.d,
-        vec_words=payload.vec_words, bf16=payload.bf16, interpret=interpret)
+        vec_words=payload.vec_words, bf16=payload.bf16, interpret=interpret,
+        visited_mode=visited_mode)
