@@ -192,3 +192,19 @@ def test_parallel_build_matches_serial(fixture_data, fixture_gt, mesh8):
     rs = recall_at_k(np.asarray(ids_s), fixture_gt, 10)
     assert rp >= rs - 0.02, (rp, rs)
     assert rp >= 0.9, rp
+
+
+def test_sharded_fused_large_ef_no_crash(fixture_data, fixture_gt):
+    """ef > 256 through the per-shard pallas merge (ADVICE r3 medium:
+    sharded.py's merge_topc call used to raise for pools > rb//2). The
+    fixture's shard bins make this take merge_topc's XLA-fallback branch;
+    the rb-raise branch is covered kernel-level in test_round4_fixes (and
+    at 20k/8-shard scale manually: R@10=1.0, too slow for the suite)."""
+    base, query = fixture_data
+    mesh = make_mesh(8)
+    idx = build_sharded_index(base, 8, mesh, with_graph=False)
+    ids, dists = sharded_search(idx, query, 10, ef=300, engine="fused")
+    ids = np.asarray(ids)
+    assert ids.shape == (query.shape[0], 10)
+    r10 = recall_at_k(ids, fixture_gt, 10)
+    assert r10 > 0.95, r10
