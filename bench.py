@@ -180,6 +180,25 @@ def main():
         if r10 >= 0.995:
             break
 
+    # ---- fused scan + bf16 re-rank: the measured round-4 lever. int8 at
+    # K=32 matched bf16 (results/int8_ab_1m.json) — the MXU-rate doubling
+    # never materializes at a 32-deep contraction — but halving the
+    # re-rank's candidate-row gather bytes bought +7% end-to-end
+    # (471.7k vs 439.4k QPS at c=16, R@10 0.982). f32 re-rank stays the
+    # default (reference-exact semantics); this row is the speed mode.
+    if not os.environ.get("GBNNS_BENCH_CPU"):
+        fused_rr = FusedScanIndex(base, base_lo, rerank_dtype=jnp.bfloat16)
+        for c in (16, 32):
+            qps, r1, r10 = timed(
+                lambda c=c: fused_rr.search(q_j, qlo_j, k=10, c=c,
+                                            merge=None))
+            log(f"  fused/bf16rr c={c:3d} R@1={r1:.4f} R@10={r10:.4f} "
+                f"QPS={qps:,.0f}")
+            consider("fused_bf16rr", dict(c=c, merge="pallas",
+                                          rerank="bf16"), qps, r1, r10)
+            if r10 >= 0.995:
+                break
+
     # ---- fused scan, int8 corpus (2x MXU rate if Mosaic keeps the int8
     # path at K=32; per-query dequant preserves ranking, re-rank absorbs
     # rounding). Skipped in CPU smoke mode (interpret int8 adds nothing).
