@@ -154,34 +154,52 @@ def main():
                merge="pallas")
 
     graph_build_s = 0.0
+    graph_error = None
+    out_path = pathlib.Path(out)
+
+    def write_summary():
+        summary = dict(
+            name=pathlib.Path(out).stem,
+            dataset=f"{args.dataset}-like (synthetic stand-in, offline)",
+            n_base=n, dim=dim, d_out=d_out, metric=metric,
+            method=("triplet-linear+graph-mined-neg" if neg_ranks
+                    else "triplet-linear"),
+            n_queries=B, timing=TIMING_MODE,
+            graph_build_s=round(graph_build_s, 1),
+            total_wall_s=round(time.perf_counter() - t_all, 1),
+            results=results)
+        if graph_error:
+            summary["graph_engine_error"] = graph_error
+        out_path.write_text(json.dumps(summary, indent=2, allow_nan=False))
+
+    # checkpoint the fused rows BEFORE the graph stage: at these dims the
+    # walker payload (n x K x d_lo) can exceed single-chip HBM (measured:
+    # GIST 1M x d'=128 -> RESOURCE_EXHAUSTED after 800 s of build), and a
+    # crash there must not lose the headline-engine evidence
+    write_summary()
+
     if not args.skip_graph:
         from gbnns_tpu.search.graph_index import GraphIndex
 
-        t0 = time.perf_counter()
-        gidx = GraphIndex.build(base, base_lo, K=32, ncent=4096,
-                                metric=metric,
-                                build_kwargs=dict(backend="fused"))
-        graph_build_s = time.perf_counter() - t0
-        log(f"graph build {graph_build_s:.1f}s")
-        qh, qlh, gth = qj[:8192], qlo[:8192], gt[:8192]
-        for ef in (32, 48, 64):
-            def run(ef=ef):
-                return gidx.search(qh, qlh, k=10, ef=ef)
-            qps, lat, r1, r10 = timed(run, nq=8192)
-            record("graph", "ef", ef, qps, lat, r1, r10, batch=8192)
+        try:
+            t0 = time.perf_counter()
+            gidx = GraphIndex.build(base, base_lo, K=32, ncent=4096,
+                                    metric=metric,
+                                    build_kwargs=dict(backend="fused"))
+            graph_build_s = time.perf_counter() - t0
+            log(f"graph build {graph_build_s:.1f}s")
+            qh, qlh = qj[:8192], qlo[:8192]
+            for ef in (32, 48, 64):
+                def run(ef=ef):
+                    return gidx.search(qh, qlh, k=10, ef=ef)
+                qps, lat, r1, r10 = timed(run, nq=8192)
+                record("graph", "ef", ef, qps, lat, r1, r10, batch=8192)
+        except Exception as e:  # OOM et al: record, keep the scan rows
+            graph_error = f"{type(e).__name__}: {str(e)[:300]}"
+            log(f"graph engine failed (recorded, continuing): "
+                f"{graph_error}")
 
-    summary = dict(
-        name=pathlib.Path(out).stem,
-        dataset=f"{args.dataset}-like (synthetic stand-in, offline)",
-        n_base=n, dim=dim, d_out=d_out, metric=metric,
-        method=("triplet-linear+graph-mined-neg" if neg_ranks
-                else "triplet-linear"),
-        n_queries=B, timing=TIMING_MODE,
-        graph_build_s=round(graph_build_s, 1),
-        total_wall_s=round(time.perf_counter() - t_all, 1),
-        results=results)
-    out_path = pathlib.Path(out)
-    out_path.write_text(json.dumps(summary, indent=2, allow_nan=False))
+    write_summary()
     try:
         from gbnns_tpu.eval.plot import plot_sweeps
 
