@@ -185,6 +185,8 @@ def main():
             t0 = time.perf_counter()
             gidx = GraphIndex.build(base, base_lo, K=32, ncent=4096,
                                     metric=metric,
+                                    rerank_dtype=jnp.bfloat16,
+                                    hbm_budget=12.5e9,
                                     build_kwargs=dict(backend="fused"))
             graph_build_s = time.perf_counter() - t0
             log(f"graph build {graph_build_s:.1f}s")

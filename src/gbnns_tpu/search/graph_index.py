@@ -54,16 +54,42 @@ class GraphIndex:
               graph: np.ndarray | None = None,
               rerank_dtype=jnp.float32,
               entries: "CentroidEntries | None" = None,
+              hbm_budget: float | None = None,
               build_kwargs: dict[str, Any] | None = None) -> "GraphIndex":
         """Build graph (reduced space) + payload + centroid entries.
         ``ncent=None`` disables centroid entries (strided fallback);
         ``graph`` reuses a prebuilt adjacency instead of building.
         ``rerank_dtype=bf16`` halves the re-rank corpus HBM footprint
-        (norms stay f32 — only the -2q·x dot term sees the rounding)."""
+        (norms stay f32 — only the -2q·x dot term sees the rounding).
+
+        ``hbm_budget`` (bytes): fail fast with a sizing breakdown when the
+        estimated resident HBM (payload + re-rank corpus + reduced corpus)
+        exceeds it, BEFORE the expensive graph build. The payload is the
+        K-fold neighbor-inlining trade: n rows of ceil((K*d'/2+K)/128)*512
+        bytes (bf16) — at GIST-like 1M x d'=128/K=32 that is 8.7 GB, which
+        plus an f32 960-d re-rank corpus exceeds a single v5e's 16 GB
+        (measured RESOURCE_EXHAUSTED); corpora that big belong to the
+        sharded engine (search/sharded.py)."""
         from gbnns_tpu.build.knn_graph import build_knn_graph
 
         base_full = np.asarray(base_full, np.float32)
         lo = base_full if base_lo is None else np.asarray(base_lo, np.float32)
+        n, d_lo = lo.shape
+        bf16_payload = vec_dtype == "bfloat16"
+        vec_words = (K * d_lo) // 2 if bf16_payload else K * d_lo
+        row_words = -(-(vec_words + K) // 128) * 128
+        payload_bytes = 4 * n * row_words
+        rr_itemsize = jnp.dtype(rerank_dtype).itemsize
+        est_bytes = (payload_bytes + base_full.size * rr_itemsize
+                     + lo.size * 4 + 4 * n)
+        if hbm_budget is not None and est_bytes > hbm_budget:
+            raise MemoryError(
+                f"GraphIndex resident-HBM estimate {est_bytes / 1e9:.1f} GB "
+                f"(payload {payload_bytes / 1e9:.1f} + rerank corpus "
+                f"{base_full.size * rr_itemsize / 1e9:.1f} + reduced "
+                f"{lo.size * 4 / 1e9:.1f}) exceeds budget "
+                f"{hbm_budget / 1e9:.1f} GB; use rerank_dtype=bf16, a "
+                f"smaller K, or the sharded engine (search/sharded.py)")
         if graph is None:
             graph = build_knn_graph(lo, K, metric=metric,
                                     **(build_kwargs or {}))
@@ -80,7 +106,9 @@ class GraphIndex:
                    entries=entries, metric=metric,
                    stats=dict(n=int(lo.shape[0]), K=int(K),
                               vec_dtype=vec_dtype,
-                              ncent=int(ncent or 0)))
+                              ncent=int(ncent or 0),
+                              payload_bytes=int(payload_bytes),
+                              est_hbm_bytes=int(est_bytes)))
 
     def search(self, queries_full, queries_lo=None, *, k: int = 10,
                ef: int = 48, num_entries: int = 16, max_hops: int = 64,

@@ -243,3 +243,21 @@ def test_fused_backend_graph_build(fixture_data, fixture_gt):
                       jnp.asarray(g_fused), entries, ef=32, max_hops=64)
     ids, _ = rerank(jnp.asarray(query), jnp.asarray(base), res.ids, 10)
     assert recall_at_k(np.asarray(ids), fixture_gt, 10) > 0.9
+
+
+def test_graph_index_hbm_budget_guard(fixture_data):
+    """hbm_budget fails fast (before the graph build) with a sizing
+    breakdown when the payload + corpora estimate exceeds it — the
+    GIST-shaped 1M x d'=128 OOM, caught in seconds instead of after an
+    800 s build (see contract_scale.py)."""
+    import pytest
+    from gbnns_tpu.search.graph_index import GraphIndex
+
+    base, _ = fixture_data
+    with pytest.raises(MemoryError, match="sharded engine"):
+        GraphIndex.build(base, K=8, ncent=None, hbm_budget=1024.0,
+                         build_kwargs=dict(chunk=1024))
+    # generous budget builds fine and reports its estimate
+    idx = GraphIndex.build(base, K=8, ncent=None, hbm_budget=64e9,
+                           build_kwargs=dict(chunk=1024, node_chunk=1024))
+    assert 0 < idx.stats["payload_bytes"] < idx.stats["est_hbm_bytes"]
