@@ -77,14 +77,27 @@ def main():
         t0 = time.perf_counter()
         g_exact = build_knn_graph(base, k, backend="xla", exact=True, **kw)
         t_exact = time.perf_counter() - t0
+        def pallas_sweep():
+            # backend="pallas" was demoted from build_knn_graph after this
+            # A/B's own data (round 4); call the kernel directly so the
+            # negative stays re-measurable
+            from gbnns_tpu.kernels.distance_topk_pallas import knn_pallas
+            xb = jnp.asarray(base)
+            parts = []
+            for off in range(0, args.n, 8192):
+                _, ids = knn_pallas(xb[off:off + 8192], xb, k + 1)
+                parts.append(ids)
+            return np.asarray(jnp.concatenate(parts))[:, 1:]
+
         variants = [("xla_approx", dict(backend="xla", exact=False)),
                     ("fused", dict(backend="fused"))]
         if not args.cpu:  # pallas kernel is TPU-geometry; interpret is slow
-            variants.append(("pallas", dict(backend="pallas")))
+            variants.append(("pallas", None))
         row = dict(k=k, xla_exact_s=round(t_exact, 2))
         for name, bkw in variants:
             t0 = time.perf_counter()
-            g = build_knn_graph(base, k, **bkw, **kw)
+            g = (pallas_sweep() if bkw is None
+                 else build_knn_graph(base, k, **bkw, **kw))
             dt = time.perf_counter() - t0
             row[f"{name}_s"] = round(dt, 2)
             row[f"{name}_overlap"] = round(overlap(g, g_exact), 4)

@@ -6,8 +6,14 @@ JSON stack. This benchmark drives the round-3 raw binary protocol
 client threads, fused engine, n=1M, and writes
 results/serve_http_1m.json. Target: >= 20k q/s.
 
-Usage: python scripts/serve_bench.py [--n 1000000] [--clients 8]
-       [--batch 512] [--secs 20]
+Usage: python scripts/serve_bench.py [--n 1000000] [--clients 16]
+       [--batch 1024] [--secs 20]
+
+Load parameters matter: the round-3 52.4k q/s number was measured at
+clients=16/batch=1024; an early round-4 refresh at 8/512 measured only
+23.1k q/s on the SAME engine — the service was under-offered (smaller
+coalesced dispatches each pay the ~26 ms fixed H2D), not slower. The
+defaults now pin the round-3 load so refreshes are apples-to-apples.
 """
 
 from __future__ import annotations
@@ -30,8 +36,8 @@ import numpy as np  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
-    ap.add_argument("--clients", type=int, default=8)
-    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--clients", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--secs", type=float, default=20.0)
     ap.add_argument("--engine", default="fused")
     ap.add_argument("--json-baseline", action="store_true",
@@ -140,7 +146,10 @@ def main():
                         p99=round(float(np.percentile(lat, 99)) * 1e3, 1)),
         wire_recall_at_10=round(float(r10), 4),
         note="end-to-end through HTTP/1.1 keep-alive + raw binary bodies; "
-             "round-2 JSON stack measured 4,039 q/s on the same engine",
+             "round-2 JSON stack measured 4,039 q/s on the same engine. "
+             "Throughput is offered-load dependent (coalesced dispatch "
+             "amortizes the ~26 ms fixed H2D): 8 clients x 512 measured "
+             "23.1k q/s on this same engine.",
     )
     log(json.dumps(result, indent=2))
     pathlib.Path(args.out).write_text(json.dumps(result, indent=2))

@@ -36,39 +36,31 @@ def build_knn_graph(base, K: int, *, metric: str = "l2",
     ``dtype`` optionally casts the distance-matmul inputs (e.g. bfloat16 for
     ~2x MXU throughput on the build; accumulation stays f32).
 
-    ``backend``: "xla" (streaming scan + lax.top_k) or "pallas" (the fused
-    VMEM-resident distance+top-k kernel, kernels.distance_topk_pallas).
+    ``backend``: "xla" (streaming scan + lax.top_k) or "fused" (binned
+    scan, ~3x faster at 1M with walker recall unchanged). A third
+    "pallas" backend (kernels.distance_topk_pallas) was DEMOTED in round
+    4 after a full A/B (`results/build_backend_ab.json`): its O(k)
+    serial selection rounds lose 6.4x to xla-approx at k=32 and 8.6x to
+    xla-exact at k=128, with no winning k — the kernel remains available
+    directly (`knn_pallas`) as the VMEM-resident exact sweep reference.
     """
-    if backend not in ("xla", "pallas", "fused"):
+    if backend == "pallas":
+        raise ValueError(
+            "backend='pallas' was demoted in round 4 (loses at every "
+            "measured k — results/build_backend_ab.json); use "
+            "backend='xla' (exact) or 'fused' (fast approx), or call "
+            "kernels.distance_topk_pallas.knn_pallas directly")
+    if backend not in ("xla", "fused"):
         raise ValueError(f"unknown backend {backend!r}")
     base = np.asarray(base)
     n, d = base.shape
     if K >= n:
         raise ValueError(f"K={K} >= n={n}")
     xb = jnp.asarray(base if dtype is None else base.astype(dtype))
-    if backend == "pallas":
-        from gbnns_tpu.kernels.distance_topk_pallas import knn_pallas
-        xt = min(1024, _round_up_rows(n))
-        n_pad = -(-n // xt) * xt
-        xb_pad = jnp.pad(xb, ((0, n_pad - n), (0, 0)))
     t0 = time.perf_counter()
     if backend == "fused":
         ids_all = _build_fused(base, K, metric=metric, node_chunk=node_chunk,
                                verbose=verbose)
-    elif backend == "pallas":
-        # Pallas path keeps the host loop (few large calls).
-        parts = []
-        for off in range(0, n, node_chunk):
-            hi = min(off + node_chunk, n)
-            _, ids = knn_pallas(xb[off:hi], xb_pad, K + 1, metric=metric,
-                                xt=xt, n_valid=n)
-            parts.append(ids)
-            if len(parts) % 8 == 0:
-                ids.block_until_ready()
-            if verbose:
-                print(f"  knn-graph {hi}/{n} ({hi / n:.0%}) "
-                      f"{time.perf_counter() - t0:.1f}s", flush=True)
-        ids_all = np.asarray(jnp.concatenate(parts, axis=0))
     else:
         # The O(n²) sweep is issued as a FEW medium device executions, each
         # a fused scan over node chunks (kernels.topk.knn_fused), sized so
@@ -82,7 +74,12 @@ def build_knn_graph(base, K: int, *, metric: str = "l2",
         # not the 2.4e10 a pure-matmul model predicts — the unclamped model
         # sized 84 s executions at d'=32/n=1M, which crash the worker), so
         # compose both as serial costs with a conservative selection rate.
-        elem_pairs_per_sec, sel_pairs_per_sec, exec_budget_s = 7.7e11, 1e10, 20.0
+        # The selection rate was calibrated at K=32 and the top-k sort
+        # cost grows with K: at K=512 the unscaled model sized executions
+        # that crashed the TPU worker outright (kernel fault, round-4
+        # build-backend A/B) — derate selection linearly in K past 32.
+        elem_pairs_per_sec, exec_budget_s = 7.7e11, 20.0
+        sel_pairs_per_sec = 1e10 * 32.0 / max(K + 1, 32)
         pairs_per_sec = 1.0 / (max(d, 1) / elem_pairs_per_sec
                                + 1.0 / sel_pairs_per_sec)
         mega = max(node_chunk,
@@ -190,14 +187,6 @@ def _build_fused(base, K: int, *, metric: str, node_chunk: int = 16384,
         pad = np.tile(out[:, -1:], (1, K + 1 - out.shape[1]))
         out = np.concatenate([out, pad], axis=1)
     return out
-
-
-def _round_up_rows(n: int) -> int:
-    """Largest power-of-two x-tile <= n rounded to 128-lane multiples."""
-    for cand in (1024, 512, 256, 128):
-        if n >= cand:
-            return cand
-    return 128
 
 
 def add_reverse_edges(graph: np.ndarray, frac: float = 0.5) -> np.ndarray:

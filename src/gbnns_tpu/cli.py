@@ -475,10 +475,11 @@ def main(argv=None):
     sp.add_argument("--approx", action="store_true")
     sp.add_argument("--no-connect", action="store_true", dest="no_connect")
     sp.add_argument("--backend", default="xla",
-                    choices=["xla", "pallas", "fused"],
-                    help="candidate sweep: exact XLA scan | pallas "
-                         "distance+topk | fused binned scan (3x faster "
-                         "at 1M, walker recall unchanged)")
+                    choices=["xla", "fused"],
+                    help="candidate sweep: exact XLA scan | fused binned "
+                         "scan (3x faster at 1M, walker recall unchanged); "
+                         "the pallas sweep was demoted in round 4 "
+                         "(results/build_backend_ab.json)")
     sp.add_argument("--verbose", action="store_true")
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_build)

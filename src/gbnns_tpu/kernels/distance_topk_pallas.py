@@ -16,13 +16,19 @@ Grid: (q_blocks, x_tiles), x fastest — scratch (running top-k) persists
 across the x sweep of one q block and resets when the q block changes.
 
 
-STATUS (round 2): superseded as the fast approximate build path by the
-binned scan (`kernels/scan_topk_pallas.binned_scan`, wired as
-``build_knn_graph(backend="fused")`` — 1M build 116 s vs 384 s exact with
-unchanged walker recall). This kernel remains the VMEM-resident EXACT
-fused sweep, useful for large-k exact top-k where approx bin winners
-cannot be re-ranked; at k=32 it measured ~3x slower than the XLA
-approx path (SURVEY §8.2.4).
+STATUS (round 4): DEMOTED to a documented negative — the
+``build_knn_graph(backend="pallas")`` config surface is removed. The
+full A/B at n=250k (`results/build_backend_ab.json`) measured it 6.4x
+slower than the XLA approx path at k=32 and 8.6x slower than the XLA
+*exact* path at k=128, with selection results exact (overlap 1.0000) at
+both: the O(k) serial min-extract rounds per contributing tile grow with
+exactly the large-k axis that was this kernel's claimed niche (round-2
+hypothesis, SURVEY §8.2.4), so there is no k where it wins. The kernel
+stays importable (and oracle-tested in tests/test_pallas_kernels.py) as
+the reference VMEM-resident exact fused sweep; packed-key selection
+(merge_topc's trick) was considered and rejected — it quantizes the
+selection boundary, which an EXACT sweep cannot absorb (no re-rank
+downstream of a graph build).
 """
 
 from __future__ import annotations

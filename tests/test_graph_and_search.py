@@ -261,3 +261,15 @@ def test_graph_index_hbm_budget_guard(fixture_data):
     idx = GraphIndex.build(base, K=8, ncent=None, hbm_budget=64e9,
                            build_kwargs=dict(chunk=1024, node_chunk=1024))
     assert 0 < idx.stats["payload_bytes"] < idx.stats["est_hbm_bytes"]
+
+
+def test_build_backend_pallas_demoted(fixture_data):
+    """The round-4 demotion (results/build_backend_ab.json): the config
+    surface rejects backend='pallas' with a pointer to the measurement
+    and the direct-kernel escape hatch."""
+    import pytest
+    from gbnns_tpu.build.knn_graph import build_knn_graph
+
+    base, _ = fixture_data
+    with pytest.raises(ValueError, match="demoted in round 4"):
+        build_knn_graph(base[:256], 4, backend="pallas")
