@@ -214,6 +214,24 @@ def main():
             if r10 >= 0.995:
                 break
 
+    # ---- int8 scan + bf16 re-rank: the exact combo the interleaved A/B
+    # measured fastest (471.7k vs 439.4k QPS at c=16 —
+    # results/int8_ab_1m.json). The two dtype savings are independent
+    # (scan HBM reads vs re-rank gather bytes), so they compose.
+    if not os.environ.get("GBNNS_BENCH_CPU"):
+        fused8rr = FusedScanIndex(base, base_lo, scan_dtype="int8",
+                                  rerank_dtype=jnp.bfloat16)
+        for c in (16, 32):
+            qps, r1, r10 = timed(
+                lambda c=c: fused8rr.search(q_j, qlo_j, k=10, c=c,
+                                            merge=None))
+            log(f"  fused8/bf16rr c={c:3d} R@1={r1:.4f} R@10={r10:.4f} "
+                f"QPS={qps:,.0f}")
+            consider("fused_int8_bf16rr", dict(c=c, merge="pallas",
+                                               rerank="bf16"), qps, r1, r10)
+            if r10 >= 0.995:
+                break
+
     # ---- IVF cluster-pruned scan ---------------------------------------
     t0 = time.perf_counter()
     ivf = IVFIndex.build(base, base_lo, seed=0)

@@ -290,6 +290,25 @@ def test_fused_index_bf16_rerank(fixture_data, fixture_gt):
     assert r10 >= r10f - 0.02, (r10, r10f)
 
 
+def test_fused_index_int8_bf16_rerank_combo(fixture_data, fixture_gt):
+    """int8 scan + bf16 re-rank — the bench's fastest measured combo
+    (459k QPS at 1M/c=16, results/bench_1m_learned_r4.json): the two
+    dtype reductions compose without compounding recall loss beyond the
+    bf16-rerank bound."""
+    import jax.numpy as jnp
+
+    base, query = fixture_data
+    idx = FusedScanIndex(base, bin_size=32, chunk=256, tq=64,
+                         scan_dtype="int8", rerank_dtype=jnp.bfloat16)
+    assert idx.quant and idx.base_full.dtype == jnp.bfloat16
+    ids, _ = idx.search(query, k=10, c=64)
+    r10 = recall_at_k(np.asarray(ids), fixture_gt, 10)
+    idxf = FusedScanIndex(base, bin_size=32, chunk=256, tq=64)
+    idsf, _ = idxf.search(query, k=10, c=64)
+    r10f = recall_at_k(np.asarray(idsf), fixture_gt, 10)
+    assert r10 >= r10f - 0.03, (r10, r10f)
+
+
 def test_fused_index_merge_pallas_angular(fixture_data):
     """merge='pallas' under the angular metric (binned mode): agrees with
     merge='exact' — the packed-key merge is metric-agnostic (scores are
