@@ -278,8 +278,15 @@ def main():
             if r10 >= 0.97:
                 break
 
-    best = max([b for b in bests.values() if b],
-               key=lambda b: b["qps"], default=None)
+    # Headline = the API-default engine row (fused: bf16 scan + f32
+    # re-rank). Round 4's full-bench honesty note measured all four
+    # scan/re-rank dtype combos within the +-1.5% relay noise band at c=16
+    # while int8+bf16rr costs ~0.8 recall points — quoting the combo as the
+    # headline was cherry-picking inside noise (VERDICT r4 weak-1). The
+    # dtype rows stay in engine_bests as sweep lines.
+    best = bests.get("fused") or max(
+        [b for b in bests.values() if b], key=lambda b: b["qps"],
+        default=None)
     if best is None:
         best = dict(engine="none", qps=0.0, r1=0.0, r10=0.0)
     baseline_qps = 200_000.0

@@ -80,14 +80,22 @@ def main():
         def pallas_sweep():
             # backend="pallas" was demoted from build_knn_graph after this
             # A/B's own data (round 4); call the kernel directly so the
-            # negative stays re-measurable
+            # negative stays re-measurable. Measured on the kernel's best
+            # footing (advisor r4): corpus padded ONCE to an xt multiple
+            # (n_valid carries the logical size) and self-edges removed via
+            # _drop_self, not [:, 1:] — duplicates can rank above self.
+            from gbnns_tpu.build.knn_graph import _drop_self
             from gbnns_tpu.kernels.distance_topk_pallas import knn_pallas
-            xb = jnp.asarray(base)
+            xt = 1024
+            n_pad = -(-args.n // xt) * xt
+            xb = jnp.asarray(np.pad(base, ((0, n_pad - args.n), (0, 0))))
+            qb = jnp.asarray(base)  # queries stay unpadded
             parts = []
             for off in range(0, args.n, 8192):
-                _, ids = knn_pallas(xb[off:off + 8192], xb, k + 1)
-                parts.append(ids)
-            return np.asarray(jnp.concatenate(parts))[:, 1:]
+                _, ids = knn_pallas(qb[off:off + 8192], xb, k + 1,
+                                    xt=xt, n_valid=args.n)
+                parts.append(_drop_self(np.asarray(ids), off))
+            return np.concatenate(parts)
 
         variants = [("xla_approx", dict(backend="xla", exact=False)),
                     ("fused", dict(backend="fused"))]

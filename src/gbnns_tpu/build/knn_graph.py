@@ -208,6 +208,10 @@ def add_reverse_edges(graph: np.ndarray, frac: float = 0.5) -> np.ndarray:
     indptr, rsrc = _reverse_csr(graph)
     counts = indptr[1:] - indptr[:-1]
     new = np.array(graph, copy=True)
+    if rsrc.size == 0:
+        # No valid edges anywhere (all -1 adjacency): nothing to fill, and
+        # the vectorized gather below would index the empty rsrc eagerly.
+        return new
     # One vectorized shot over the (n, K-keep) tail instead of K-keep
     # boolean-mask passes (the loop was ~8 s of the 1M build's host tail):
     # slot j of node v gets its j-th in-neighbor when it has one, else

@@ -412,7 +412,8 @@ def cmd_serve(args):
     svc = SearchService(base, base_lo, graph, metric=args.metric,
                         engine=args.engine, ef=args.ef, c=args.c,
                         projection=projection, scan_dtype=args.scan_dtype,
-                        centroids_path=args.centroids)
+                        centroids_path=args.centroids,
+                        h2d_dtype=args.h2d_dtype)
     if not args.no_warm:
         # pre-compile every request-size bucket so the documented 21 s p95
         # compile stalls never land inside live requests (ADVICE r3)
@@ -582,6 +583,11 @@ def main(argv=None):
                          "compile-bound k-means refit on restart)")
     sp.add_argument("--no-warm", action="store_true", dest="no_warm",
                     help="skip pre-compiling request-size buckets at startup")
+    sp.add_argument("--h2d-dtype", dest="h2d_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="device-upload dtype for coalesced query batches; "
+                         "bfloat16 halves the per-dispatch H2D bytes "
+                         "(results/serve_profile_1m.json)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("pipeline", help="full experiment from config")

@@ -65,19 +65,27 @@ class GraphIndex:
         ``hbm_budget`` (bytes): fail fast with a sizing breakdown when the
         estimated resident HBM (payload + re-rank corpus + reduced corpus)
         exceeds it, BEFORE the expensive graph build. The payload is the
-        K-fold neighbor-inlining trade: n rows of ceil((K*d'/2+K)/128)*512
-        bytes (bf16) — at GIST-like 1M x d'=128/K=32 that is 8.7 GB, which
-        plus an f32 960-d re-rank corpus exceeds a single v5e's 16 GB
-        (measured RESOURCE_EXHAUSTED); corpora that big belong to the
-        sharded engine (search/sharded.py)."""
+        K-fold neighbor-inlining trade: n rows of ceil((K*d'/2+K)/1024)*4096
+        bytes (bf16) — pack_hop_payload pads every row to whole 4 KB DMA
+        tiles (walker_pallas._ROW_WORDS), so at GIST-like 1M x d'=128/K=32
+        the payload is 12.3 GB, which plus an f32 960-d re-rank corpus
+        exceeds a single v5e's 16 GB (measured RESOURCE_EXHAUSTED); corpora
+        that big belong to the sharded engine (search/sharded.py)."""
         from gbnns_tpu.build.knn_graph import build_knn_graph
+        from gbnns_tpu.search.walker_pallas import _ROW_WORDS
 
         base_full = np.asarray(base_full, np.float32)
         lo = base_full if base_lo is None else np.asarray(base_lo, np.float32)
         n, d_lo = lo.shape
         bf16_payload = vec_dtype == "bfloat16"
+        if bf16_payload and (K * d_lo) % 2:
+            # Surface pack_hop_payload's constraint here, BEFORE the build.
+            raise ValueError("bf16 payload needs K*d_lo even "
+                             f"(got K={K}, d_lo={d_lo})")
         vec_words = (K * d_lo) // 2 if bf16_payload else K * d_lo
-        row_words = -(-(vec_words + K) // 128) * 128
+        # Rows are padded to whole 4 KB DMA tiles — must match
+        # pack_hop_payload exactly or the budget guard under-admits OOMs.
+        row_words = -(-(vec_words + K) // _ROW_WORDS) * _ROW_WORDS
         payload_bytes = 4 * n * row_words
         rr_itemsize = jnp.dtype(rerank_dtype).itemsize
         est_bytes = (payload_bytes + base_full.size * rr_itemsize

@@ -56,7 +56,8 @@ class SearchService:
                  engine: str = "flat", ef: int = 64, c: int = 64,
                  max_batch: int = 4096, max_wait_ms: float = 2.0,
                  projection=None, scan_dtype: str = "bfloat16",
-                 centroids_path: str | None = None):
+                 centroids_path: str | None = None,
+                 h2d_dtype: str = "float32"):
         import jax.numpy as jnp
 
         from gbnns_tpu.search.flat import FlatIndex
@@ -65,6 +66,17 @@ class SearchService:
         self.engine = engine
         self.ef = ef
         self.c = c
+        # ``h2d_dtype="bfloat16"``: convert the coalesced query batch to
+        # bf16 on the host before the device upload, then cast back to f32
+        # on device. Queries dominate the dispatch's host->device bytes
+        # (512 B/query at d=128 f32) and the relay link runs at ~45 MB/s,
+        # so halving them halves the serving H2D floor; the only semantic
+        # cost is bf16 rounding of the query values themselves (measured
+        # <0.001 R@10 on the 1M config — results/serve_profile_1m.json).
+        if h2d_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"h2d_dtype must be float32|bfloat16, "
+                             f"got {h2d_dtype!r}")
+        self.h2d_dtype = h2d_dtype
         # optional callable full-d -> low-d; called with the DEVICE-resident
         # query batch (one upload per dispatch) — keep it device-side
         # (jnp ops / jit); a host round-tripping projection adds a
@@ -266,7 +278,17 @@ class SearchService:
         # ~26 ms + ~22 ms/MB, so uploading full-d queries for the
         # projection and again for the engine doubled the serving floor.
         # Project on device from the same uploaded array instead.
-        queries = jnp.asarray(queries, dtype=jnp.float32)
+        if self.h2d_dtype == "bfloat16":
+            # halve the upload bytes (see __init__); cast back on device
+            queries = jnp.asarray(
+                np.asarray(queries, np.float32).astype(jnp.bfloat16)
+            ).astype(jnp.float32)
+            if queries_lo is not None:
+                queries_lo = jnp.asarray(
+                    np.asarray(queries_lo, np.float32).astype(jnp.bfloat16)
+                ).astype(jnp.float32)
+        else:
+            queries = jnp.asarray(queries, dtype=jnp.float32)
         if queries_lo is None and self.projection is not None:
             queries_lo = self.projection(queries)
         ids, dists = self._search_exact(queries, queries_lo, k)
