@@ -42,6 +42,17 @@ def main():
     ap.add_argument("--engine", default="fused")
     ap.add_argument("--json-baseline", action="store_true",
                     help="also measure the JSON protocol for comparison")
+    ap.add_argument("--h2d-dtype", dest="h2d_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="device-upload dtype: bfloat16 halves the "
+                         "per-dispatch H2D bytes, the dominant serving tax "
+                         "(results/serve_profile_1m.json: engine 372k -> "
+                         "+f32 H2D 59.4k -> +bf16 H2D 69.3k)")
+    ap.add_argument("--max-batch", type=int, default=8192,
+                    help="coalesce ceiling; 16384 amortizes the ~26 ms "
+                         "fixed dispatch RTT over the full 16x1024 "
+                         "offered load")
+    ap.add_argument("--max-wait-ms", type=float, default=10.0)
     ap.add_argument("--out", default="results/serve_http_1m.json")
     args = ap.parse_args()
 
@@ -79,7 +90,9 @@ def main():
                         # 10 ms coalesce window: requests arrive staggered
                         # over ~100 ms; at 2 ms the dispatcher issued many
                         # small batches, each paying the ~26 ms fixed H2D
-                        max_batch=8192, max_wait_ms=10.0, projection=proj)
+                        max_batch=args.max_batch,
+                        max_wait_ms=args.max_wait_ms, projection=proj,
+                        h2d_dtype=args.h2d_dtype)
     t0 = time.perf_counter()
     nb = svc.warm(k=10)
     log(f"warmed {nb} shape buckets in {time.perf_counter() - t0:.1f}s")
@@ -138,6 +151,8 @@ def main():
     lat = np.asarray(lats)
     result = dict(
         n=n, engine=args.engine, protocol="raw+keepalive",
+        h2d_dtype=args.h2d_dtype, max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
         clients=args.clients, batch=args.batch,
         queries=total, wall_s=round(wall, 2),
         qps_end_to_end=round(qps, 1),
