@@ -148,7 +148,8 @@ def main():
         return args.nq / dt, dt * 1e3, r1, r10
 
     # interleaved sweep: all variants measured adjacent per c
-    for c in (8, 16, 32, 64):
+    # (c must be >= k=10 for the exact re-rank)
+    for c in (16, 32, 64):
         for name, _, _ in variants:
             idx, qlo = indexes[name]
             qps, ms, r1, r10 = timed(
