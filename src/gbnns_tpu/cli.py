@@ -12,6 +12,9 @@ resumable — SURVEY §5.3/5.4):
   train     projection (pca/linear/mlp) → proj artifacts + projected fvecs
   search    one search run (given ef) → ids/metrics
   sweep     recall-vs-QPS curve over the ef sweep → results JSON
+  plot      recall-vs-QPS curves from sweep JSONs → png
+  serve     HTTP search service over staged artifacts
+  size      per-chip HBM sizing pre-check (single-chip or sharded)
   pipeline  all of the above from one config JSON
 
 The first device→host transfer on the axon TPU relay stalls O(minutes);
@@ -422,6 +425,40 @@ def cmd_serve(args):
     serve(svc, port=args.port, host=args.host)
 
 
+def cmd_size(args):
+    """Print the per-chip resident-HBM breakdown for an engine config —
+    the deployment pre-check behind GraphIndex's hbm_budget fail-fast
+    (SURVEY §11.5/§12.5: the GIST-shape OOM surfaced only after a 1008 s
+    build; size first, build second)."""
+    import json as _json
+
+    from gbnns_tpu.search.sizing import (fused_index_hbm, graph_index_hbm,
+                                         sharded_per_chip_hbm)
+
+    rr = 2 if args.rerank_dtype == "bfloat16" else 4
+    if args.chips > 1:
+        b = sharded_per_chip_hbm(args.n, args.chips, args.d, args.d_lo,
+                                 args.K, engine=args.engine,
+                                 rerank_itemsize=rr)
+    elif args.engine in ("graph_pallas", "graph"):
+        b = graph_index_hbm(args.n, args.d, args.d_lo, args.K,
+                            rerank_itemsize=rr)
+    else:
+        # flat keeps its scan corpus f32 (search/flat.py); fused casts to
+        # bf16 (or int8-quantizes) at build
+        scan_item = (4 if args.engine == "flat"
+                     else 1 if args.scan_dtype == "int8" else 2)
+        b = fused_index_hbm(args.n, args.d, args.d_lo, rerank_itemsize=rr,
+                            scan_itemsize=scan_item)
+    out = b.as_dict()
+    out["chips"] = args.chips
+    print(_json.dumps(out, indent=2))
+    if not out["fits_v5e_16gb"]:
+        print("does NOT fit a 16 GB v5e chip (with 2 GB scratch headroom);"
+              " shard over more chips or use rerank-dtype=bfloat16",
+              flush=True)
+
+
 def cmd_pipeline(args):
     from gbnns_tpu.config import ExperimentConfig
     from gbnns_tpu.pipeline import run_pipeline
@@ -439,7 +476,14 @@ def cmd_pipeline(args):
 
 
 def main(argv=None):
-    _warmup_transfer()
+    import sys as _sys
+
+    argv = _sys.argv[1:] if argv is None else argv
+    # device-free subcommands must not fire the warmup transfer: the
+    # daemon thread dying mid-transfer at interpreter exit aborts the
+    # process (axon relay client raises through teardown)
+    if argv and argv[0] not in ("size", "plot"):
+        _warmup_transfer()
     p = argparse.ArgumentParser(prog="gbnns",
                                 description="TPU-native graph-based NNS with "
                                             "learned dimensionality reduction")
@@ -589,6 +633,22 @@ def main(argv=None):
                          "bfloat16 halves the per-dispatch H2D bytes "
                          "(results/serve_profile_1m.json)")
     sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser("size", help="per-chip HBM sizing pre-check for an "
+                                     "engine config (no device needed)")
+    sp.add_argument("--engine", default="fused",
+                    choices=["fused", "flat", "graph", "graph_pallas"])
+    sp.add_argument("--n", type=int, required=True)
+    sp.add_argument("--d", type=int, required=True)
+    sp.add_argument("--d-lo", type=int, dest="d_lo", required=True)
+    sp.add_argument("--K", type=int, default=32)
+    sp.add_argument("--chips", type=int, default=1,
+                    help=">1: per-chip residency on a sharded mesh")
+    sp.add_argument("--rerank-dtype", dest="rerank_dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    sp.add_argument("--scan-dtype", dest="scan_dtype", default="bfloat16",
+                    choices=["bfloat16", "int8"])
+    sp.set_defaults(fn=cmd_size)
 
     sp = sub.add_parser("pipeline", help="full experiment from config")
     sp.add_argument("--config", help="config JSON (configs/*.json)")

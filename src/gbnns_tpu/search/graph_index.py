@@ -72,30 +72,26 @@ class GraphIndex:
         exceeds a single v5e's 16 GB (measured RESOURCE_EXHAUSTED); corpora
         that big belong to the sharded engine (search/sharded.py)."""
         from gbnns_tpu.build.knn_graph import build_knn_graph
-        from gbnns_tpu.search.walker_pallas import _ROW_WORDS
+        from gbnns_tpu.search.sizing import graph_index_hbm
 
         base_full = np.asarray(base_full, np.float32)
         lo = base_full if base_lo is None else np.asarray(base_lo, np.float32)
         n, d_lo = lo.shape
-        bf16_payload = vec_dtype == "bfloat16"
-        if bf16_payload and (K * d_lo) % 2:
-            # Surface pack_hop_payload's constraint here, BEFORE the build.
-            raise ValueError("bf16 payload needs K*d_lo even "
-                             f"(got K={K}, d_lo={d_lo})")
-        vec_words = (K * d_lo) // 2 if bf16_payload else K * d_lo
-        # Rows are padded to whole 4 KB DMA tiles — must match
-        # pack_hop_payload exactly or the budget guard under-admits OOMs.
-        row_words = -(-(vec_words + K) // _ROW_WORDS) * _ROW_WORDS
-        payload_bytes = 4 * n * row_words
-        rr_itemsize = jnp.dtype(rerank_dtype).itemsize
-        est_bytes = (payload_bytes + base_full.size * rr_itemsize
-                     + lo.size * 4 + 4 * n)
+        # graph_index_hbm raises on bf16 K*d_lo parity BEFORE the build
+        # (pack_hop_payload's constraint) and pads payload rows to whole
+        # 4 KB DMA tiles exactly like the packer — the first guard rounded
+        # to 128 words and under-admitted real OOMs (ADVICE r4 high).
+        sz = graph_index_hbm(
+            n, base_full.shape[1], d_lo, K, vec_dtype=vec_dtype,
+            rerank_itemsize=jnp.dtype(rerank_dtype).itemsize)
+        payload_bytes = sz.payload_bytes
+        est_bytes = sz.total_bytes
         if hbm_budget is not None and est_bytes > hbm_budget:
             raise MemoryError(
                 f"GraphIndex resident-HBM estimate {est_bytes / 1e9:.1f} GB "
                 f"(payload {payload_bytes / 1e9:.1f} + rerank corpus "
-                f"{base_full.size * rr_itemsize / 1e9:.1f} + reduced "
-                f"{lo.size * 4 / 1e9:.1f}) exceeds budget "
+                f"{sz.rerank_bytes / 1e9:.1f} + reduced "
+                f"{sz.reduced_bytes / 1e9:.1f}) exceeds budget "
                 f"{hbm_budget / 1e9:.1f} GB; use rerank_dtype=bf16, a "
                 f"smaller K, or the sharded engine (search/sharded.py)")
         if graph is None:
