@@ -177,6 +177,7 @@ def test_pipeline_neg_ranks(tmp_path):
     assert out["summary"]["results"][0]["recall_at_10"] > 0.7
 
 
+@pytest.mark.slow  # ~170 s: full pipeline with interpret-mode DMA walker
 def test_pipeline_pallas_walker(tmp_path):
     """search.walker='pallas' + centroid entries through the pipeline
     (the round-2 graph-engine recipe, CPU-interpreted)."""

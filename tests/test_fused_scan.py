@@ -248,6 +248,7 @@ def test_fused_index_int8_scan(fixture_data, fixture_gt):
     assert (np.diff(np.asarray(dists8), axis=1) >= -1e-5).all()
 
 
+@pytest.mark.slow  # ~16 s; int8 scan itself is covered fast by test_fused_index_int8_scan
 def test_fused_index_int8_merge_pallas(fixture_data, fixture_gt):
     """int8 scan + pallas top-c merge — the exact combination the TPU
     runs — agrees with the int8 + exact-merge path."""

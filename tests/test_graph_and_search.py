@@ -218,6 +218,7 @@ def test_graph_index_end_to_end(fixture_data, fixture_gt):
     assert recall_at_k(np.asarray(ids2), fixture_gt, 10) > 0.85
 
 
+@pytest.mark.slow  # ~150 s: interpret-mode binned-scan graph build
 def test_fused_backend_graph_build(fixture_data, fixture_gt):
     """backend='fused' (binned Pallas scan) builds a near-exact graph that
     the walker searches at full recall."""

@@ -37,6 +37,7 @@ class TestMergeTopcLargePools:
         ids = rng.integers(0, 10_000, size=(n_bins, B)).astype(np.int32)
         return jnp.asarray(vals), jnp.asarray(ids)
 
+    @pytest.mark.slow  # ~170-260 s interpret-mode: 3 full hierarchical merges
     @pytest.mark.parametrize("c", [300, 512, 600])
     def test_large_c_no_raise_and_correct(self, c):
         from gbnns_tpu.kernels.scan_topk_pallas import merge_topc

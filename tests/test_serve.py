@@ -199,6 +199,7 @@ def test_serve_graph_pallas_staged_centroids(fixture_data, fixture_gt,
         svc.stop()
 
 
+@pytest.mark.slow  # ~20 s; the service path is covered fast by the graph_pallas engine test
 def test_serve_fused_engine(fixture_data, fixture_gt):
     """fused engine (the headline binned-scan path) behind the service."""
     from gbnns_tpu.serve import SearchService
