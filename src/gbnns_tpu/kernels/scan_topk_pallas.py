@@ -379,6 +379,15 @@ def binned_scan(q, x, addvec, qshift=None, *, metric: str = "l2",
 
 _PINF = float("inf")
 
+# Interpret-mode pallas unrolls the grid into the traced jaxpr (one kernel
+# body per cell), and XLA-CPU compile time grows superlinearly in graph
+# size: the 10M-row scan (9,766 cells at the CPU chunk cap of 1024) sat in
+# compile for 2+ hours where 2M (1,954 cells) took 40 s total. Cap the
+# cells per traced call and stitch corpus segments on the host instead —
+# segment boundaries are chunk-aligned (hence bin-aligned), so per-bin
+# winners are bit-identical to the unsegmented scan.
+_INTERPRET_MAX_CHUNKS = 512
+
 
 def _flip(bits):
     """IEEE-f32 signed-int total order (see _scan_kernel packed mode)."""
@@ -752,6 +761,27 @@ class FusedScanIndex:
         self.base_sq = jnp.sum(jnp.asarray(base_full) ** 2, axis=-1)
         self.base_full = jnp.asarray(base_full, dtype=rerank_dtype)
 
+    def _binned_scan_segmented(self, q_scan, scan_kw, *, transpose: bool):
+        """binned_scan, segmented over the corpus when interpret-mode
+        tracing would unroll more than _INTERPRET_MAX_CHUNKS grid cells
+        per call (see the constant's comment). Winners are bit-identical:
+        segments are chunk-aligned, bins never straddle a boundary, and
+        the per-segment local ids are shifted back to corpus ids."""
+        n_pad = self.x_lo.shape[0]
+        seg = _INTERPRET_MAX_CHUNKS * self.chunk
+        if not self.interpret or n_pad <= seg:
+            return binned_scan(q_scan, self.x_lo, self.addvec,
+                               transpose=transpose, **scan_kw)
+        vs, ids = [], []
+        for s in range(0, n_pad, seg):
+            v, i = binned_scan(q_scan, self.x_lo[s:s + seg],
+                               self.addvec[s:s + seg],
+                               transpose=transpose, **scan_kw)
+            vs.append(v)
+            ids.append(i + s)
+        ax = 1 if transpose else 0
+        return jnp.concatenate(vs, axis=ax), jnp.concatenate(ids, axis=ax)
+
     def search(self, queries_full, queries_lo=None, *, k: int = 10,
                c: int = 32, merge: str | None = None):
         """``merge`` selects how the c re-rank candidates come out of the
@@ -800,15 +830,15 @@ class FusedScanIndex:
                            interpret=self.interpret, packed=self.packed,
                            **kw)
             if merge == "pallas":
-                raw_v, raw_i = binned_scan(q_scan, self.x_lo, self.addvec,
-                                           transpose=False, **scan_kw)
+                raw_v, raw_i = self._binned_scan_segmented(
+                    q_scan, scan_kw, transpose=False)
                 cc = min(c, raw_v.shape[0])
                 _, cand = merge_topc(raw_v, raw_i, cc, valid_b=ql.shape[0],
                                      interpret=self.interpret)
                 return rerank(qf, self.base_full, cand, k,
                               metric=self.metric, base_sqnorms=self.base_sq)
-            vals, ids = binned_scan(q_scan, self.x_lo, self.addvec,
-                                    **scan_kw)
+            vals, ids = self._binned_scan_segmented(
+                q_scan, scan_kw, transpose=True)
         cc = min(c, vals.shape[1])
         if merge == "approx" and not self.interpret:
             _, sel = jax.lax.approx_max_k(-vals, cc, recall_target=0.95)
