@@ -782,33 +782,19 @@ class FusedScanIndex:
         ax = 1 if transpose else 0
         return jnp.concatenate(vs, axis=ax), jnp.concatenate(ids, axis=ax)
 
-    def search(self, queries_full, queries_lo=None, *, k: int = 10,
-               c: int = 32, merge: str | None = None):
-        """``merge`` selects how the c re-rank candidates come out of the
-        bin winners:
-
-        * ``"pallas"`` (fastest) — ``merge_topc``: packed-key min-extract
-          rounds over the scan's native bin-major layout; skips the
-          (n_bins, B) transpose AND the wide top_k entirely (28.84 vs
-          35.27 ms/batch at 1M x 16k, results/tail_decomp_1m.jsonl).
-        * ``"approx"`` — ``approx_max_k`` over the transposed winners:
-          measured +7% QPS for -0.4% R@10 at 1M/c=16 vs exact.
-        * ``"exact"`` — ``lax.top_k`` (12 ms of the 47 ms round-2 batch).
-        * ``None`` (default) — "pallas" on TPU, "exact" under interpret
-          (interpret-mode pallas is orders slower than lax.top_k on CPU).
-
-        All three feed the same exact full-dim re-rank, so results agree
-        up to quantization ties at the pool boundary.
-        """
+    def candidates(self, queries_lo, *, c: int = 32,
+                   merge: str | None = None):
+        """Re-rank candidate pool only: (B, <=c) int32 corpus ids, best
+        (quantized) projected score first. This is ``search`` minus the
+        full-dim re-rank — candidate-quality studies (recall@c as a
+        function of the projection) need exactly this and must not pay
+        the 512 MB full-dim corpus upload per projection variant."""
         if merge is None:
             merge = "exact" if self.interpret else "pallas"
-        from gbnns_tpu.search.rerank import rerank
-
-        qf = jnp.asarray(queries_full, dtype=jnp.float32)
-        ql = qf if queries_lo is None else jnp.asarray(queries_lo,
-                                                       dtype=jnp.float32)
+        ql = jnp.asarray(queries_lo, dtype=jnp.float32)
         if self.mode == "shifted":
-            q_aug = augment_queries(ql, self.metric, getattr(self, "max_norm", 1.0))
+            q_aug = augment_queries(ql, self.metric,
+                                    getattr(self, "max_norm", 1.0))
             vals, ids = shifted_scan(q_aug, self.x_aug,
                                      bin_size=self.bin_size, chunk=self.chunk,
                                      tq=self.tq, interpret=self.interpret)
@@ -835,8 +821,7 @@ class FusedScanIndex:
                 cc = min(c, raw_v.shape[0])
                 _, cand = merge_topc(raw_v, raw_i, cc, valid_b=ql.shape[0],
                                      interpret=self.interpret)
-                return rerank(qf, self.base_full, cand, k,
-                              metric=self.metric, base_sqnorms=self.base_sq)
+                return cand
             vals, ids = self._binned_scan_segmented(
                 q_scan, scan_kw, transpose=True)
         cc = min(c, vals.shape[1])
@@ -844,6 +829,30 @@ class FusedScanIndex:
             _, sel = jax.lax.approx_max_k(-vals, cc, recall_target=0.95)
         else:
             _, sel = jax.lax.top_k(-vals, cc)
-        cand = jnp.take_along_axis(ids, sel, axis=1)
+        return jnp.take_along_axis(ids, sel, axis=1)
+
+    def search(self, queries_full, queries_lo=None, *, k: int = 10,
+               c: int = 32, merge: str | None = None):
+        """``merge`` selects how the c re-rank candidates come out of the
+        bin winners:
+
+        * ``"pallas"`` (fastest) — ``merge_topc``: packed-key min-extract
+          rounds over the scan's native bin-major layout; skips the
+          (n_bins, B) transpose AND the wide top_k entirely (28.84 vs
+          35.27 ms/batch at 1M x 16k, results/tail_decomp_1m.jsonl).
+        * ``"approx"`` — ``approx_max_k`` over the transposed winners:
+          measured +7% QPS for -0.4% R@10 at 1M/c=16 vs exact.
+        * ``"exact"`` — ``lax.top_k`` (12 ms of the 47 ms round-2 batch).
+        * ``None`` (default) — "pallas" on TPU, "exact" under interpret
+          (interpret-mode pallas is orders slower than lax.top_k on CPU).
+
+        All three feed the same exact full-dim re-rank, so results agree
+        up to quantization ties at the pool boundary.
+        """
+        from gbnns_tpu.search.rerank import rerank
+
+        qf = jnp.asarray(queries_full, dtype=jnp.float32)
+        ql = qf if queries_lo is None else queries_lo
+        cand = self.candidates(ql, c=c, merge=merge)
         return rerank(qf, self.base_full, cand, k, metric=self.metric,
                       base_sqnorms=self.base_sq)

@@ -362,3 +362,27 @@ def test_interpret_segmented_scan_bit_identical(monkeypatch):
             ids1, d1 = run(merge, **kw)
             np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
             np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
+def test_candidates_equals_search_minus_rerank(fixture_data, fixture_gt):
+    """``candidates()`` is the documented scan+merge half of ``search``:
+    the candidate pool must be duplicate-free valid ids, and its GT-overlap
+    recall must equal post-exact-re-rank R@10 (the property
+    scripts/train_recipe_ab.py rests on)."""
+    base, query = fixture_data
+    idx = FusedScanIndex(base, bin_size=32, chunk=256, tq=64)
+    for merge in ("exact", "pallas"):
+        cand = np.asarray(idx.candidates(query, c=16, merge=merge))
+        assert cand.shape == (query.shape[0], 16)
+        assert cand.dtype == np.int32
+        valid = cand[cand >= 0]
+        assert valid.max() < base.shape[0]
+        # bin winners are distinct corpus rows: no duplicates per query
+        for row in cand:
+            r = row[row >= 0]
+            assert len(np.unique(r)) == len(r)
+        ids, _ = idx.search(query, k=10, c=16, merge=merge)
+        gt10 = fixture_gt[:, :10]
+        overlap = (cand[:, None, :] == gt10[:, :, None]).any(-1).mean()
+        r10 = recall_at_k(np.asarray(ids), fixture_gt, 10)
+        assert abs(overlap - r10) < 1e-6
