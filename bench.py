@@ -104,8 +104,14 @@ def main():
     from gbnns_tpu.dimred.train import load_projection, save_projection
 
     t0 = time.perf_counter()
+    # _sel: round-5 recipe — validation-gated checkpoint selection
+    # (TrainConfig.eval_every). The hinge recipe trains BELOW its own PCA
+    # init on this corpus (recall@c=16 0.9912 -> 0.9768 at 1M,
+    # results/train_recipe_ab_1m.json — no swept variant beat the init);
+    # selection returns the best checkpoint INCLUDING the init, so the
+    # learned projection is >= PCA by construction.
     cache = pathlib.Path(__file__).resolve().parent / "results" / (
-        f"bench_proj_n{n}_d{d}x{d_lo}_s{steps}_seed1.npz")
+        f"bench_proj_n{n}_d{d}x{d_lo}_s{steps}_sel_seed1.npz")
     trained = None
     if cache.exists() and not os.environ.get("GBNNS_BENCH_NO_CACHE"):
         try:
@@ -121,7 +127,11 @@ def main():
         train_nbrs = exact_ground_truth(base_sub, base_sub, k=k_pos + 1,
                                         q_chunk=16384)[:, 1:]
         trained = train_projection(base_sub, train_nbrs, TrainConfig(
-            d_out=d_lo, steps=steps, batch_size=1024, k_pos=k_pos))
+            d_out=d_lo, steps=steps, batch_size=1024, k_pos=k_pos,
+            eval_every=max(50, steps // 4)))
+        log(f"projection best_step={trained.get('best_step')} "
+            f"val@16={trained.get('best_val'):.4f} "
+            f"(init {trained['val_history'][0]:.4f})")
         cache.parent.mkdir(exist_ok=True)
         save_projection(str(cache), trained)
     base_lo = np.asarray(project(trained, base))
@@ -171,8 +181,13 @@ def main():
     # merge="pallas" (merge_topc over the scan's native bin-major layout):
     # 28.84 ms scan+merge at 1M x 16k vs 33.33 approx / 35.27 exact
     # (results/tail_decomp_1m.jsonl)
-    # merge=None resolves to pallas on TPU, exact on the CPU smoke path
-    for c in (16, 32, 64):
+    # merge=None resolves to pallas on TPU, exact on the CPU smoke path.
+    # c=12 joins the sweep in round 5: merge_topc extracts in rounds of 8
+    # (c=12 costs the same merge as 16) but the re-rank pool shrinks 25%,
+    # and with the selection-quality projection R@10@c=12 ~ 0.96 clears
+    # the 0.95 gate at the curve's fastest point (468.9k QPS measured at
+    # c=12 in results/sift1m_dr32_1m.json).
+    for c in (12, 16, 32, 64):
         qps, r1, r10 = timed(lambda c=c: fused.search(q_j, qlo_j, k=10,
                                                       c=c, merge=None))
         log(f"  fused c={c:3d} R@1={r1:.4f} R@10={r10:.4f} QPS={qps:,.0f}")
@@ -188,7 +203,7 @@ def main():
     # default (reference-exact semantics); this row is the speed mode.
     if not os.environ.get("GBNNS_BENCH_CPU"):
         fused_rr = FusedScanIndex(base, base_lo, rerank_dtype=jnp.bfloat16)
-        for c in (16, 32):
+        for c in (12, 16, 32):
             qps, r1, r10 = timed(
                 lambda c=c: fused_rr.search(q_j, qlo_j, k=10, c=c,
                                             merge=None))
@@ -221,7 +236,7 @@ def main():
     if not os.environ.get("GBNNS_BENCH_CPU"):
         fused8rr = FusedScanIndex(base, base_lo, scan_dtype="int8",
                                   rerank_dtype=jnp.bfloat16)
-        for c in (16, 32):
+        for c in (12, 16, 32):
             qps, r1, r10 = timed(
                 lambda c=c: fused8rr.search(q_j, qlo_j, k=10, c=c,
                                             merge=None))

@@ -53,6 +53,11 @@ VARIANTS = {
     "nr2400": dict(steps=2400, neg_ranks=(10, 100)),  # graph-mined negs
     "nrc2400": dict(steps=2400, neg_ranks=(10, 30)),  # closest non-pos negs
     "b4096": dict(steps=2400, batch_size=4096),
+    # Phase-2 variants (first run showed every trained variant BELOW its
+    # own PCA init at c<=16 — probe what in the recipe damages it):
+    "nohn": dict(steps=2400, hard_negatives=False),
+    "nrc_lo": dict(steps=2400, neg_ranks=(10, 30), lr=1e-4),
+    "pca_ft": dict(steps=1200, neg_ranks=(10, 30), lr=1e-4, margin=0.1),
 }
 
 
@@ -133,8 +138,9 @@ def main():
             base_lo = (base @ pca.components).astype(np.float32)
             qlo = np.asarray((query @ pca.components), np.float32)
         else:
-            cfg = TrainConfig(d_out=d_lo, steps=steps, batch_size=1024,
-                              k_pos=10, **ov)
+            cfg_kw = dict(batch_size=1024, k_pos=10)
+            cfg_kw.update(ov)
+            cfg = TrainConfig(d_out=d_lo, steps=steps, **cfg_kw)
             cache = res_dir / (
                 f"bench_proj_n{n}_d{d}x{d_lo}_s600_seed1.npz"
                 if name == "ctrl600"

@@ -57,6 +57,19 @@ class TrainConfig:
     # behavior, SURVEY §4.2).
     neg_ranks: tuple[int, int] | None = None
     init: str = "pca"              # linear model init: "pca" | "orthogonal"
+    # Validation-gated checkpoint selection: every ``eval_every`` steps,
+    # score NN-ordering preservation on a held-out query split — the
+    # fraction of each query's true top-10 (its ``neighbors`` row, exact
+    # full-d NNs) retained in its projected top-``val_c`` over the whole
+    # training corpus — and return the best checkpoint seen, INCLUDING
+    # the step-0 init. Measured round 5: the hinge recipe can train
+    # BELOW its own PCA init on Gaussian-like corpora (recall@c=16
+    # 0.9912 → 0.9768 at 1M, results/train_recipe_ab_1m.json); selection
+    # makes "learned ≥ its init" structural instead of hoped-for.
+    # 0 = off (return the final step, the reference's behavior).
+    eval_every: int = 0
+    val_queries: int = 1024
+    val_c: int = 16
     seed: int = 0
 
     @property
@@ -153,8 +166,8 @@ def train_projection(base, neighbors, cfg: TrainConfig,
     # base/neighbors are jit ARGUMENTS, not closures: a closed-over corpus
     # becomes an embedded program constant, and at GIST scale (100k x 960 =
     # 384 MB) that blew the remote-compile request size limit (HTTP 413).
-    @jax.jit
-    def run(params, opt_state, key, base, neighbors):
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def run(params, opt_state, key, base, neighbors, n_steps):
         def step(carry, key):
             params, opt_state = carry
             loss, grads = jax.value_and_grad(loss_fn)(params, key, base,
@@ -163,18 +176,65 @@ def train_projection(base, neighbors, cfg: TrainConfig,
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
-        keys = jax.random.split(key, cfg.steps)
+        keys = jax.random.split(key, n_steps)
         (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
         return params, opt_state, losses
 
-    params, opt_state, losses = run(params, opt_state,
-                                    jax.random.PRNGKey(cfg.seed + 1),
-                                    base, neighbors)
-    losses = np.asarray(losses)
-    if log_every:
-        for i in range(0, cfg.steps, log_every):
-            print(f"  step {i}: loss {losses[i]:.4f}", flush=True)
-    return {"params": params, "model": model, "cfg": cfg, "losses": losses}
+    if not cfg.eval_every:
+        params, opt_state, losses = run(params, opt_state,
+                                        jax.random.PRNGKey(cfg.seed + 1),
+                                        base, neighbors, cfg.steps)
+        losses = np.asarray(losses)
+        if log_every:
+            for i in range(0, cfg.steps, log_every):
+                print(f"  step {i}: loss {losses[i]:.4f}", flush=True)
+        return {"params": params, "model": model, "cfg": cfg, "losses": losses}
+
+    # ---- validation-gated checkpoint selection (see TrainConfig) -------
+    vq = jax.random.permutation(
+        jax.random.PRNGKey(cfg.seed + 7), n)[:min(cfg.val_queries, n)]
+    val_gt = neighbors[vq, :min(10, neighbors.shape[1])]
+
+    @jax.jit
+    def val_score(params, base, vq, val_gt):
+        """Mean fraction of true top-10 retained in the projected
+        top-val_c over the whole training corpus (self excluded)."""
+        lo = apply_model(model, params, base)          # (n, d_out)
+        qlo = lo[vq]
+        if cfg.metric in ("ip", "angular"):
+            scores = qlo @ lo.T
+        else:
+            scores = (2.0 * (qlo @ lo.T)
+                      - jnp.sum(lo * lo, -1)[None, :])  # -d² + const
+        # mask self: the query IS a corpus row and always ranks first
+        scores = scores.at[jnp.arange(vq.shape[0]), vq].set(-jnp.inf)
+        _, top = jax.lax.top_k(scores, cfg.val_c)
+        hits = (top[:, None, :] == val_gt[:, :, None]).any(-1)
+        return jnp.mean(hits)
+
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    best = (float(val_score(params, base, vq, val_gt)), params, 0)
+    history = [best[0]]
+    losses_parts = []
+    done = 0
+    while done < cfg.steps:
+        seg = min(cfg.eval_every, cfg.steps - done)
+        key, sub = jax.random.split(key)
+        params, opt_state, seg_losses = run(params, opt_state, sub,
+                                            base, neighbors, seg)
+        losses_parts.append(np.asarray(seg_losses))
+        done += seg
+        score = float(val_score(params, base, vq, val_gt))
+        history.append(score)
+        if score > best[0]:
+            best = (score, params, done)
+        if log_every:
+            print(f"  step {done}: loss {losses_parts[-1][-1]:.4f} "
+                  f"val@{cfg.val_c} {score:.4f}", flush=True)
+    losses = np.concatenate(losses_parts) if losses_parts else np.zeros(0)
+    return {"params": best[1], "model": model, "cfg": cfg, "losses": losses,
+            "val_history": np.asarray(history), "best_step": best[2],
+            "best_val": best[0]}
 
 
 def project(trained: dict[str, Any], x, *, chunk: int = 262144) -> np.ndarray:

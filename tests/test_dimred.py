@@ -126,3 +126,40 @@ def test_neg_ranks_graph_mined_negatives(fixture_data, fixture_gt):
         train_projection(base[:256], nbrs,
                          TrainConfig(d_out=8, steps=2, batch_size=16,
                                      k_pos=5, neg_ranks=(2, 50)))
+
+
+def test_checkpoint_selection_never_below_init(fixture_data):
+    """eval_every > 0: the returned params are the best validation
+    checkpoint INCLUDING the step-0 init — a destructive recipe (huge lr)
+    must come back as the init, not the wrecked final step (the round-5
+    finding that the hinge recipe can train below its own PCA init)."""
+    base, _ = fixture_data
+    nbrs = exact_ground_truth(base[:1024], base, k=11, chunk=1024)[:, 1:]
+    base = base  # full corpus; queries drawn from its first rows
+    cfg = TrainConfig(d_out=8, steps=60, batch_size=128, k_pos=10,
+                      lr=5.0, eval_every=20, val_queries=128, val_c=16,
+                      seed=0)
+    trained = train_projection(base[:1024], nbrs, cfg)
+    hist = trained["val_history"]
+    assert len(hist) == 4                       # init + 3 segments
+    assert trained["best_val"] == hist.max()
+    assert trained["best_val"] >= hist[0]
+    # lr=5.0 wrecks the projection: init must win and be returned
+    assert trained["best_step"] == 0
+    from gbnns_tpu.dimred.pca import pca_fit
+    pca = pca_fit(np.asarray(base[:1024]), 8)
+    np.testing.assert_allclose(
+        np.asarray(trained["params"]["params"]["proj"]["kernel"]),
+        pca.components, rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_selection_tracks_training(fixture_data):
+    """With a sane lr the selected checkpoint is >= init on the val
+    metric and the losses vector still spans all steps."""
+    base, _ = fixture_data
+    nbrs = exact_ground_truth(base[:1024], base, k=11, chunk=1024)[:, 1:]
+    cfg = TrainConfig(d_out=8, steps=50, batch_size=128, k_pos=10,
+                      eval_every=25, val_queries=64, val_c=8, seed=1)
+    trained = train_projection(base[:1024], nbrs, cfg)
+    assert trained["losses"].shape == (50,)
+    assert trained["best_val"] >= trained["val_history"][0]
