@@ -67,8 +67,9 @@ def main():
         seed=0))
     base, query = data["base"], data["query"]
 
-    # learned projection — same recipe + cache as bench.py
-    cache = _root / "results" / f"bench_proj_n{n}_d128x32_s{args.steps}_seed1.npz"
+    # learned projection — same recipe + cache as bench.py (round 5:
+    # validation-gated checkpoint selection, _sel cache key)
+    cache = _root / "results" / f"bench_proj_n{n}_d128x32_s{args.steps}_sel_seed1.npz"
     trained = None
     if cache.exists():
         try:
@@ -82,7 +83,8 @@ def main():
         bs = base[sub]
         nbrs = exact_ground_truth(bs, bs, k=11, q_chunk=16384)[:, 1:]
         trained = train_projection(bs, nbrs, TrainConfig(
-            d_out=32, steps=args.steps, batch_size=1024, k_pos=10))
+            d_out=32, steps=args.steps, batch_size=1024, k_pos=10,
+            eval_every=max(50, args.steps // 4)))
         cache.parent.mkdir(exist_ok=True)
         save_projection(str(cache), trained)
     base_lo = np.asarray(project(trained, base))

@@ -123,7 +123,8 @@ def cmd_train(args):
         cfg = TrainConfig(d_out=args.d_out, model=args.method,
                           metric=args.metric, steps=args.steps,
                           batch_size=args.batch_size, lr=args.lr,
-                          k_pos=args.k_pos, seed=args.seed)
+                          k_pos=args.k_pos, eval_every=args.eval_every,
+                          seed=args.seed)
         trained = train_projection(base, nbrs, cfg, log_every=args.steps // 10 or 1)
         save_projection(os.path.join(args.out, "proj.npz"), trained)
         base_lo = project(trained, base)
@@ -539,6 +540,10 @@ def main(argv=None):
     sp.add_argument("--batch-size", type=int, default=1024, dest="batch_size")
     sp.add_argument("--lr", type=float, default=1e-3)
     sp.add_argument("--k-pos", type=int, default=10, dest="k_pos")
+    sp.add_argument("--eval-every", type=int, default=0, dest="eval_every",
+                    help="validation-gated checkpoint selection cadence "
+                         "(0 = off; returns the best checkpoint incl. the "
+                         "init by held-out NN-ordering preservation)")
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--out", required=True, help="output directory")
     sp.set_defaults(fn=cmd_train)

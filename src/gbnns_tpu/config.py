@@ -49,6 +49,12 @@ class DimRedConfig:
     # Graph-mined negatives: (lo, hi) GT ranks to sample negatives from
     # (confusable near-misses), or null for uniform corpus negatives.
     neg_ranks: tuple[int, int] | None = None
+    # Validation-gated checkpoint selection cadence (TrainConfig.eval_every):
+    # score held-out NN-ordering preservation every N steps and keep the
+    # best checkpoint INCLUDING the init (0 = off). Round-5 finding: the
+    # hinge recipe can train below its own PCA init on Gaussian-like
+    # corpora (results/train_recipe_ab_1m.json).
+    eval_every: int = 0
     # Training-positive subsample: the triplet trainer's positives come from
     # an exact in-sample GT, which is O(n²) on the full corpus (~6 min of
     # pure supervision cost at 1M). Projection quality is corpus-statistics

@@ -64,6 +64,7 @@ def fit_projection(cfg: ExperimentConfig, base, query, gt):
                      steps=cfg.dimred.steps, k_pos=cfg.dimred.k_pos,
                      hard_negatives=cfg.dimred.hard_negatives,
                      neg_ranks=cfg.dimred.neg_ranks,
+                     eval_every=cfg.dimred.eval_every,
                      seed=cfg.dimred.seed)
     # staged projection: keyed on everything that shapes training (the
     # dataset identity + the full TrainConfig + the supervision sampling);
