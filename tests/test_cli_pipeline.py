@@ -195,3 +195,31 @@ def test_pipeline_pallas_walker(tmp_path):
     r = out["summary"]["results"][0]
     assert r["recall_at_10"] > 0.85
     assert r["extra"]["walker"] == "pallas"
+
+
+def test_pipeline_eval_every_selection(tmp_path):
+    """dimred.eval_every round-trips through config JSON and the staged
+    projection is the validation-selected checkpoint (>= its init on the
+    held-out ordering metric — the round-5 recipe-A/B finding)."""
+    cfg = ExperimentConfig.from_json({
+        "name": "fixture_sel", "dataset": "fixture",
+        "out_dir": str(tmp_path),
+        "graph": {"k": 8, "chunk": 1024, "node_chunk": 1024},
+        "dimred": {"method": "linear", "d_out": 8, "steps": 60,
+                   "batch_size": 128, "k_pos": 5, "eval_every": 20},
+        "search": {"index": "flat", "k": 10, "efs": [32]},
+    })
+    assert cfg.dimred.eval_every == 20
+    out = run_pipeline(cfg)
+    assert out["summary"]["results"][0]["recall_at_10"] > 0.7
+
+
+def test_cli_train_eval_every(data_dir, tmp_path):
+    """gbnns train --eval-every exposes checkpoint selection."""
+    cli_main(["train", "--base", str(data_dir / "base.fvecs"),
+              "--query", str(data_dir / "query.fvecs"),
+              "--method", "linear", "--d-out", "8", "--steps", "40",
+              "--batch-size", "128", "--k-pos", "5",
+              "--eval-every", "20", "--out", str(tmp_path)])
+    lo = read_fvecs(str(tmp_path / "base_lo.fvecs"))
+    assert lo.shape == (2048, 8)
