@@ -140,6 +140,7 @@ def main():
     nbr_cache = res_dir / f"ab_nbrs_{args.corpus}_n{n}_k{k_sup}.npz"
     if nbr_cache.exists():
         train_nbrs = np.load(nbr_cache)["nbrs"]
+        log(f"nbr cache hit: {nbr_cache.name}")
     else:
         t0 = time.perf_counter()
         train_nbrs = exact_ground_truth(base_sub, base_sub, k=k_sup + 1,
@@ -172,7 +173,9 @@ def main():
         t0 = time.perf_counter()
         extra = {}
         if steps == 0:
+            log(f"{name}: pca_fit...")
             pca = pca_fit(base_sub, d_lo)
+            log(f"{name}: projecting corpus (host)...")
             base_lo = (base @ pca.components).astype(np.float32)
             qlo = np.asarray((query @ pca.components), np.float32)
             if metric == "angular":
@@ -205,11 +208,13 @@ def main():
         train_s = time.perf_counter() - t0
         # scan-only index: base_full is never re-ranked here, so pass the
         # projected corpus for it (keeps the per-variant upload small)
+        log(f"{name}: building scan index...")
         idx = FusedScanIndex(base_lo, base_lo, metric=metric)
         qlo_j = jnp.asarray(qlo)
         rec = {}
         for c in cs:
             rec[str(c)] = round(cand_recall(idx, qlo_j, c), 4)
+            log(f"{name}: c={c} -> {rec[str(c)]}")
         rows[name] = dict(variant=name, steps=steps, overrides=repr(ov),
                           train_s=round(train_s, 1), recall_at_c=rec,
                           **extra)
