@@ -159,7 +159,7 @@ def main():
     fused = FusedScanIndex(base, base_lo, metric=metric,
                            rerank_dtype=jnp.bfloat16)
     log(f"fused build {time.perf_counter() - t0:.1f}s")
-    for c in (16, 32, 64, 128):
+    for c in (12, 16, 32, 64, 128):
         qps, lat, r1, r10 = timed(
             lambda c=c: fused.search(qj, qlo, k=10, c=c, merge="pallas"))
         record("fused", "c", c, qps, lat, r1, r10, dist_q=float(n + c),
