@@ -163,3 +163,19 @@ def test_checkpoint_selection_tracks_training(fixture_data):
     trained = train_projection(base[:1024], nbrs, cfg)
     assert trained["losses"].shape == (50,)
     assert trained["best_val"] >= trained["val_history"][0]
+
+
+def test_checkpoint_selection_angular_metric(fixture_data):
+    """val_score's angular branch: normalized projections, dot-product
+    ordering — selection must run and never return below-init params."""
+    base, _ = fixture_data
+    b = base[:1024] / np.maximum(
+        np.linalg.norm(base[:1024], axis=1, keepdims=True), 1e-12)
+    nbrs = exact_ground_truth(b, b, k=11, chunk=1024,
+                              metric="angular")[:, 1:]
+    cfg = TrainConfig(d_out=8, steps=40, batch_size=128, k_pos=10,
+                      metric="angular", eval_every=20, val_queries=64,
+                      val_c=8, seed=2)
+    trained = train_projection(b, nbrs, cfg)
+    assert trained["best_val"] >= trained["val_history"][0]
+    assert np.isfinite(trained["losses"]).all()
