@@ -5,7 +5,7 @@ round 3 with merge="approx"; the default engine now rides the pallas
 top-c merge and the scan/re-rank dtype knobs exist. This refresh sweeps
 the fused engine at 10M x 96 -> 32d PCA with merge=None (pallas on TPU)
 in bf16/f32, plus the int8-scan + bf16-re-rank combo, writing
-results/deep10m_refresh_r4.json.
+results/deep10m_refresh_r5.json (the r4 run never landed — relay outage).
 
 Usage: python scripts/deep10m_refresh.py [--n 10000000] [--b 16384]
 """
@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--b", type=int, default=16384)
     ap.add_argument("--d", type=int, default=96)
     ap.add_argument("--d-lo", type=int, default=32, dest="d_lo")
-    ap.add_argument("--out", default="results/deep10m_refresh_r4.json")
+    ap.add_argument("--out", default="results/deep10m_refresh_r5.json")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -74,7 +74,7 @@ def main():
 
     rows = []
 
-    def sweep(tag, idx, cs=(16, 32)):
+    def sweep(tag, idx, cs=(12, 16, 32)):
         for c in cs:
             qps, r1, r10 = timed(lambda c=c: idx.search(
                 qj, qlo, k=10, c=c, merge=None))
