@@ -338,30 +338,41 @@ def test_fused_index_merge_pallas_end_to_end(fixture_data, fixture_gt):
     assert (np.diff(np.asarray(dists_p), axis=1) >= -1e-5).all()
 
 
-def test_interpret_segmented_scan_bit_identical(monkeypatch):
+@pytest.mark.parametrize(
+    "kw,merge",
+    [
+        ({}, "exact"),  # fast tier keeps one guard on the segmentation fix
+        pytest.param({}, "pallas", marks=pytest.mark.slow),
+        pytest.param({"scan_dtype": "int8"}, "exact",
+                     marks=pytest.mark.slow),
+        pytest.param({"scan_dtype": "int8"}, "pallas",
+                     marks=pytest.mark.slow),
+    ],
+)
+def test_interpret_segmented_scan_bit_identical(monkeypatch, kw, merge):
     """Interpret-mode corpus segmentation (the 10M trace-unroll fix) must
     return bit-identical winners to the unsegmented scan: segments are
     chunk-aligned so bins never straddle a boundary, and local ids are
-    shifted back to corpus ids. Covers both merge paths and int8."""
+    shifted back to corpus ids. Covers both merge paths and int8 (the
+    dtype/merge cross-product is interpret-heavy, ~19 s per combo, so
+    only the default combo rides the fast tier)."""
     import gbnns_tpu.kernels.scan_topk_pallas as stp
 
     rng = np.random.default_rng(7)
     base = rng.normal(size=(1500, 24)).astype(np.float32)
     query = rng.normal(size=(32, 24)).astype(np.float32)
 
-    def run(merge, **kw):
+    def run():
         idx = FusedScanIndex(base, bin_size=64, chunk=256, tq=32, **kw)
         assert idx.interpret  # CPU backend in this suite
         return idx.search(query, k=10, c=32, merge=merge)
 
-    for kw in ({}, {"scan_dtype": "int8"}):
-        for merge in ("exact", "pallas"):
-            monkeypatch.setattr(stp, "_INTERPRET_MAX_CHUNKS", 10 ** 9)
-            ids0, d0 = run(merge, **kw)
-            monkeypatch.setattr(stp, "_INTERPRET_MAX_CHUNKS", 2)  # 512 rows
-            ids1, d1 = run(merge, **kw)
-            np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
-            np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    monkeypatch.setattr(stp, "_INTERPRET_MAX_CHUNKS", 10 ** 9)
+    ids0, d0 = run()
+    monkeypatch.setattr(stp, "_INTERPRET_MAX_CHUNKS", 2)  # 512 rows
+    ids1, d1 = run()
+    np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
 
 
 def test_candidates_equals_search_minus_rerank(fixture_data, fixture_gt):
