@@ -141,7 +141,8 @@ def main():
                         "1M when chunk size shrinks to match the grid "
                         "length? yes -> per-cell tile-load latency is the "
                         "mechanism; no -> corpus size itself")
-    (_root / "results" / "chunk_mechanism_1m.json").write_text(
+    tag = f"{n // 1_000_000}m" if n % 1_000_000 == 0 else str(n)
+    (_root / "results" / f"chunk_mechanism_{tag}.json").write_text(
         json.dumps(out, indent=2, allow_nan=False))
     print(json.dumps(rows))
 
